@@ -1,0 +1,108 @@
+"""Primitive NN blocks shared across encoders.
+
+Numerics mirror the reference's legacy BERT stack so that reference weights
+produce identical outputs at fp32:
+
+  - additive attention masks `(1 - m) * -10000` (`Cross_Modal_Interaction_Module.py:364-372,962-965`)
+  - erf-based gelu (:31-37)
+  - LayerNorm with epsilon inside the square root (:509-522)
+
+All matmuls run in the policy compute dtype (bf16 on TPU) with fp32
+LayerNorm statistics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NEG_INF_MASK = -10000.0
+
+
+def gelu(x):
+    """erf-gelu, matching the reference exactly (not the tanh approximation)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACT2FN = {
+    "gelu": gelu,
+    "relu": jax.nn.relu,
+    "swish": jax.nn.silu,
+    "tanh": jnp.tanh,
+}
+
+
+def additive_mask(mask, dtype=jnp.float32):
+    """Convert a {0,1} key mask to the additive form the reference uses
+    everywhere: 0 → -10000, 1 → 0. Accepts (B, S) and returns (B, 1, 1, S)
+    broadcastable over (batch, heads, queries, keys)."""
+    m = jnp.asarray(mask).astype(dtype)
+    while m.ndim < 4:
+        m = m[:, None]
+    return (1.0 - m) * NEG_INF_MASK
+
+
+class LayerNorm(nn.Module):
+    """TF-style LayerNorm (eps inside sqrt), fp32 statistics."""
+
+    eps: float = 1e-12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(self.dtype)
+
+
+class Dense(nn.Module):
+    """Linear layer with optional logical partitioning axes for TP.
+
+    `kernel_axes` names the (in, out) logical axes; the partitioner in
+    `icka_tpu.parallel` maps logical names to mesh axes.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    kernel_axes: tuple = (None, None)
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(stddev=0.02),
+            (in_dim, self.features),
+            jnp.float32,
+        )
+        y = jnp.matmul(x.astype(self.dtype), kernel.astype(self.dtype),
+                       preferred_element_type=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class MLP(nn.Module):
+    """Feed-forward block: Dense → act → Dense (+residual+LN in callers)."""
+
+    hidden: int
+    out: int
+    act: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = Dense(self.hidden, dtype=self.dtype, name="wi",
+                  kernel_axes=("embed", "mlp"))(x)
+        h = ACT2FN[self.act](h)
+        return Dense(self.out, dtype=self.dtype, name="wo",
+                     kernel_axes=("mlp", "embed"))(h)
