@@ -1,0 +1,159 @@
+"""Headline benchmark: multimodal NER inference throughput on one chip.
+
+Measures the flagship ICKA pipeline end to end — uint8 images → device-side
+preprocess → ResNet-152 → cross-modal fusion → prompt RoBERTa-large →
+BiLSTM → CRF Viterbi — as ONE jitted XLA program at bf16, and reports
+image+sentence pairs/sec/chip against the BASELINE.json north star
+(≥5,000 pairs/sec/chip on TPU v5e).
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N/5000}
+
+Usage:
+    python bench.py                 # full-size flagship, TPU
+    python bench.py --quick         # reduced model/iters (CPU smoke)
+    python bench.py --model gate_cl # BERT-base fusion family instead
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_PAIRS_PER_SEC = 5000.0
+
+
+def _batch(cfg, B, offset, rng, image_size=256):
+    import numpy as np
+
+    L = cfg.max_seq_length
+    Lp = offset + L
+    vocab = cfg.embedding.vocab_size
+    return {
+        "input_ids": rng.integers(2, vocab, (B, Lp)).astype(np.int32),
+        "segment_ids": np.concatenate(
+            [np.zeros((B, offset), np.int32), np.ones((B, L), np.int32)], 1),
+        "input_mask": np.ones((B, Lp), np.int32),
+        "ori_input_ids": rng.integers(2, vocab, (B, L)).astype(np.int32),
+        "ori_input_mask": np.ones((B, L), np.int32),
+        "ori_segment_ids": np.zeros((B, L), np.int32),
+        "img_mask": np.ones((B, cfg.num_regions), np.int32),
+        "clip_features": rng.standard_normal((B, 1, cfg.clip_dim))
+        .astype(np.float32),
+        "output_mask": np.ones((B, L), np.int32),
+        "images": rng.integers(0, 255, (B, image_size, image_size, 3))
+        .astype(np.uint8),
+    }
+
+
+def bench_icka(quick: bool, batch_sizes, iters: int):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from icka_tpu.core.config import EncoderConfig, ICKAConfig
+    from icka_tpu.data.images import preprocess_images
+    from icka_tpu.models.icka import ICKAModel
+    from icka_tpu.models.resnet import VisualBackbone
+
+    if quick:
+        enc = EncoderConfig(vocab_size=1024, hidden_size=256,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            intermediate_size=512)
+        cfg = ICKAConfig(embedding=enc, last_encoder=enc, layer_num1=2,
+                         clip_dim=128, prompt_hidden=128, last_hidden=256,
+                         max_seq_length=64)
+        resnet_layers = (1, 1, 1, 1)
+        image_size = 64
+    else:
+        cfg = ICKAConfig()           # roberta-large dual encoders
+        resnet_layers = (3, 8, 36, 3)
+        image_size = 256
+
+    dtype = jnp.bfloat16
+    model = ICKAModel(cfg, dtype=dtype)
+    backbone = VisualBackbone(layers=resnet_layers, dtype=dtype)
+    offset, mask_positions = 14, (3, 11)
+    rng = np.random.default_rng(0)
+
+    init_b = _batch(cfg, 2, offset, rng, image_size)
+    images = init_b.pop("images")
+    init_b["visual_mean"] = np.zeros((2, cfg.region_dim), np.float32)
+    init_b["visual_grid"] = np.zeros((2, 7, 7, cfg.region_dim), np.float32)
+    params = model.init(jax.random.PRNGKey(0), init_b, mask_positions,
+                        offset, mode="test")
+    crop = min(224, image_size)
+    bvars = backbone.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, crop, crop, 3), dtype))
+
+    def infer(params, bvars, batch):
+        pixels = preprocess_images(batch["images"],
+                                   jax.random.PRNGKey(0),
+                                   crop_size=crop, train=False)
+        pooled, mean, att = backbone.apply(bvars, pixels.astype(dtype))
+        mb = {k: v for k, v in batch.items() if k != "images"}
+        mb["visual_mean"] = mean
+        mb["visual_grid"] = att
+        return model.apply(params, mb, mask_positions, offset, mode="test")
+
+    infer = jax.jit(infer)
+
+    best = 0.0
+    best_bs = 0
+    for B in batch_sizes:
+        batch = _batch(cfg, B, offset, rng, image_size)
+        out = infer(params, bvars, batch)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = infer(params, bvars, batch)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        pairs = B * iters / dt
+        print(f"# batch={B}: {pairs:.1f} pairs/s "
+              f"({dt / iters * 1e3:.1f} ms/step)", file=sys.stderr)
+        if pairs > best:
+            best, best_bs = pairs, B
+    return best, best_bs
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--model", default="icka", choices=["icka"])
+    p.add_argument("--batch_sizes", default=None,
+                   help="comma-separated batch sizes to sweep")
+    p.add_argument("--iters", type=int, default=None)
+    args = p.parse_args(argv)
+
+    if args.quick:
+        # force CPU for smoke runs — jax may be pre-imported with a TPU
+        # platform pinned, so env vars don't work; config does (pre-init)
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
+
+    if args.batch_sizes:
+        batch_sizes = [int(b) for b in args.batch_sizes.split(",")]
+    else:
+        batch_sizes = [8] if args.quick else [32, 64, 128]
+    iters = args.iters or (3 if args.quick else 20)
+
+    value, best_bs = bench_icka(args.quick, batch_sizes, iters)
+    print(json.dumps({
+        "metric": "icka_inference_pairs_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(value / BASELINE_PAIRS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

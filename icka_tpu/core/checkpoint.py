@@ -1,0 +1,108 @@
+"""Checkpoint save/restore with best-metric tracking and step snapshots.
+
+Covers both reference checkpointing dialects:
+
+  - the live path's best-dev-F1 bundle (`My_cross_attention.py:917-943`):
+    model config JSON + net/optimizer state + visual-backbone weights,
+    restored by `test()` (:948-999);
+  - the vestigial generic saver (`utils/save.py:62-92`): numbered
+    `model_step_{N}` snapshots with optimizer training state.
+
+Storage is flax msgpack (`flax.serialization`) per pytree + a JSON manifest
+— host-independent, works for sharded params (arrays are gathered to host).
+Unlike the reference, a `resume()` restores optimizer state AND step so
+mid-training continuation works (the reference cannot resume mid-run —
+SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(_to_host(tree)))
+
+
+def restore_pytree(path: str, target: Any) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+class Checkpointer:
+    """Directory layout:
+
+        {dir}/manifest.json            best metric, latest step, files
+        {dir}/state_best.msgpack       best-F1 train state
+        {dir}/state_step{N}.msgpack    periodic snapshots (keep_n retained)
+        {dir}/config.json              model/train config round-trip
+    """
+
+    def __init__(self, directory: str, keep_n: int = 3):
+        self.directory = directory
+        self.keep_n = keep_n
+        os.makedirs(directory, exist_ok=True)
+        self._manifest_path = os.path.join(directory, "manifest.json")
+        self.manifest = {"best_metric": None, "best_step": None,
+                         "steps": []}
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                self.manifest = json.load(f)
+
+    def _write_manifest(self):
+        with open(self._manifest_path, "w") as f:
+            json.dump(self.manifest, f, indent=2)
+
+    def save_config(self, config_json: str) -> None:
+        with open(os.path.join(self.directory, "config.json"), "w") as f:
+            f.write(config_json)
+
+    def save(self, state: Any, step: int, metric: Optional[float] = None,
+             best_only: bool = False) -> None:
+        if metric is not None and (
+                self.manifest["best_metric"] is None
+                or metric > self.manifest["best_metric"]):
+            save_pytree(os.path.join(self.directory, "state_best.msgpack"),
+                        state)
+            self.manifest["best_metric"] = float(metric)
+            self.manifest["best_step"] = int(step)
+        if not best_only:
+            path = os.path.join(self.directory,
+                                f"state_step{int(step)}.msgpack")
+            save_pytree(path, state)
+            self.manifest["steps"].append(int(step))
+            while len(self.manifest["steps"]) > self.keep_n:
+                old = self.manifest["steps"].pop(0)
+                try:
+                    os.remove(os.path.join(
+                        self.directory, f"state_step{old}.msgpack"))
+                except FileNotFoundError:
+                    pass
+        self._write_manifest()
+
+    def restore_best(self, target: Any) -> Any:
+        return restore_pytree(
+            os.path.join(self.directory, "state_best.msgpack"), target)
+
+    def resume(self, target: Any) -> tuple[Any, Optional[int]]:
+        """Latest step snapshot (or best if none) + its step number."""
+        if self.manifest["steps"]:
+            step = self.manifest["steps"][-1]
+            return restore_pytree(
+                os.path.join(self.directory, f"state_step{step}.msgpack"),
+                target), step
+        if self.manifest["best_step"] is not None:
+            return self.restore_best(target), self.manifest["best_step"]
+        return target, None

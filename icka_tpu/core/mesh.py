@@ -61,12 +61,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(mesh: Mesh, x, batch_dim: int):
+    """Shard `batch_dim` over the data axis, replicating instead when the
+    dimension doesn't divide the axis (e.g. a batch-1 debug eval)."""
+    n = mesh.shape[DATA_AXIS]
+    spec = [None] * x.ndim
+    if x.ndim > batch_dim and x.shape[batch_dim] % n == 0:
+        spec[batch_dim] = DATA_AXIS
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place every leaf of a host batch with its leading dim sharded on
     the data axis (the TPU equivalent of DistributedSampler + `.to(device)`,
     `My_cross_attention.py:707,798`)."""
-    sh = data_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: _put(mesh, x, 0), batch)
+
+
+def shard_accum_batch(mesh: Mesh, batch):
+    """Train batches are (accum, micro_batch, ...): shard the micro-batch
+    axis over the data axis, keep the accumulation axis replicated (it is
+    consumed sequentially by lax.scan inside the step)."""
+    return jax.tree.map(lambda x: _put(mesh, x, 1), batch)
 
 
 def logical_to_sharding(mesh: Mesh, axes) -> NamedSharding:

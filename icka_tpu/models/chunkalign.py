@@ -1,0 +1,343 @@
+"""ChunkAlign VCR models: staged chunk/cross-modal attention + aligned CLS.
+
+TPU-native rebuild of the vestigial VCR subsystem's model core
+(`modeling/modeling_vcr_chunkalign_v10.py`, reference component #20):
+
+  - `StagedVLEncoder` ≙ `SeqBertImgModel` (:235) over `CaptionBertEncoder`
+    (:153): a joint text⊕image-region transformer whose attention mask
+    changes by stage — layers 0-2 chunk-internal text (+ image keys),
+    layers 3-8 full cross-chunk attention, layers 9-11 cross-modal with
+    *chunk-mean queries* and identity-only image rows (:166-206);
+  - chunk-mean queries ≙ the reference's per-sample `index_add` loop
+    (:66-78), vectorized here as a batched segment-mean over a
+    chunk-id map (`gather_index`), one gather + one scatter, no loops;
+  - `GlobalVLEncoder` ≙ the plain `BertImgModel`-style global encoder
+    (`modeling/modeling_bert.py:158`, component #22's encoder role);
+  - `ChunkAlignCLS` ≙ `ChunkAlign_CLS_enc4_align` (:1019): ensemble of
+    global+chunk CLS, 3 CLS-attention layers over the concatenated
+    [global_hypo; chunk_align; chunk_hidden] memory, binary-per-choice
+    classification with `binary_to_mp`, and the attention-supervised
+    align loss over the last 3 cross-modal layers (:1074-1080).
+
+Everything is static-shape: `gather_index` maps every hypothesis token to a
+chunk id (padding tokens map to a dedicated dead chunk), `chunk_attention
+mask` is a precomputed (B, Lh, Lh) 0/1 block-diagonal, and the align loss
+selects supervised positions with a mask instead of boolean indexing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from icka_tpu.core.config import EncoderConfig
+from icka_tpu.nn.attention import (
+    AttentionOutput,
+    FeedForward,
+    MultiHeadAttention,
+    Pooler,
+    _merge_heads,
+    _split_heads,
+    dot_product_attention,
+)
+from icka_tpu.nn.bert import TextEmbeddings
+from icka_tpu.nn.layers import Dense, additive_mask
+
+
+@dataclass(frozen=True)
+class ChunkAlignConfig:
+    encoder: EncoderConfig = field(
+        default_factory=EncoderConfig.bert_base)
+    img_feature_dim: int = 2048
+    max_hypo: int = 50
+    chunk_layers: tuple = (0, 1, 2)
+    cross_chunk_layers: tuple = (3, 4, 5, 6, 7, 8)
+    cross_modal_layers: tuple = (9, 10, 11)
+    add_residual: bool = True
+    add_local_residual: bool = False
+    num_choices: int = 4
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 64) -> "ChunkAlignConfig":
+        enc = EncoderConfig(
+            vocab_size=vocab_size, hidden_size=32, num_hidden_layers=6,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=128, layer_norm_eps=1e-12,
+            position_offset=0, pad_token_id=0)
+        return cls(encoder=enc, img_feature_dim=16, max_hypo=10,
+                   chunk_layers=(0,), cross_chunk_layers=(1, 2, 3),
+                   cross_modal_layers=(4, 5), num_choices=4)
+
+
+def chunk_mean_queries(q, gather_index, token_mask, num_chunks: int):
+    """Replace each hypothesis token's query with the mean query of its
+    chunk. `gather_index` (B, Lh) holds chunk ids in [0, num_chunks);
+    padding tokens must map to an unused chunk id. Vectorized equivalent of
+    the reference's per-sample index_add/gather loop (:66-78)."""
+    onehot = jax.nn.one_hot(gather_index, num_chunks,
+                            dtype=q.dtype)                 # (B, Lh, C)
+    onehot = onehot * token_mask[..., None].astype(q.dtype)
+    sums = jnp.einsum("blc,bld->bcd", onehot, q)            # (B, C, D)
+    counts = jnp.maximum(onehot.sum(axis=1), 1.0)           # (B, C)
+    means = sums / counts[..., None]
+    spread = jnp.einsum("blc,bcd->bld", onehot, means)
+    return jnp.where(token_mask[..., None] > 0, spread, q)
+
+
+class StagedAttention(nn.Module):
+    """Self-attention whose queries can be chunk-averaged."""
+
+    cfg: EncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bias, gather_index=None, token_mask=None,
+                 num_chunks: int = 0, chunk_query: bool = False,
+                 hypo_len: int = 0, deterministic=True):
+        d = x.shape[-1]
+        q = Dense(d, dtype=self.dtype, name="query")(x)
+        k = Dense(d, dtype=self.dtype, name="key")(x)
+        v = Dense(d, dtype=self.dtype, name="value")(x)
+        if chunk_query:
+            # only hypothesis positions 1..hypo_len-1 get chunk-mean queries
+            q_h = chunk_mean_queries(q[:, :hypo_len], gather_index,
+                                     token_mask, num_chunks)
+            q = jnp.concatenate([q_h, q[:, hypo_len:]], axis=1)
+        N = self.cfg.num_attention_heads
+        qh, kh, vh = (_split_heads(t, N) for t in (q, k, v))
+        ctx = dot_product_attention(qh, kh, vh, bias=bias, dtype=self.dtype,
+                                    deterministic=True)
+        # also return fp32 attention probabilities for the align loss
+        head_dim = d // N
+        scores = jnp.einsum("bqnh,bknh->bnqk", qh, kh,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (head_dim ** -0.5) + bias.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1)
+        return _merge_heads(ctx), probs
+
+
+class StagedLayer(nn.Module):
+    cfg: EncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bias, deterministic=True, **chunk_kw):
+        a, probs = StagedAttention(self.cfg, dtype=self.dtype,
+                                   name="attn")(x, bias, **chunk_kw)
+        x = AttentionOutput(self.cfg.layer_norm_eps, dtype=self.dtype,
+                            name="attn_out")(a, x, deterministic)
+        x = FeedForward(self.cfg.intermediate_size, self.cfg.layer_norm_eps,
+                        dtype=self.dtype, name="ffn")(x, deterministic)
+        return x, probs
+
+
+class StagedVLEncoder(nn.Module):
+    """SeqBertImgModel equivalent. Inputs:
+
+      input_ids      (B, Lh) hypothesis tokens (CLS first)
+      img_feats      (B, Li, img_dim) region features
+      input_mask     (B, Lh + Li) joint validity mask
+      chunk_mask     (B, Lh, Lh) 0/1 chunk-internal visibility
+      gather_index   (B, Lh) chunk id per hypothesis token
+      num_chunks     static max chunk count
+
+    Returns (sequence, pooled_cls, cross_modal_attn_probs, chunk_hidden).
+    """
+
+    cfg: ChunkAlignConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, img_feats, input_mask, chunk_mask,
+                 gather_index, num_chunks: int, token_type_ids=None,
+                 deterministic=True):
+        enc = self.cfg.encoder
+        B, Lh = input_ids.shape
+        Li = img_feats.shape[1]
+        L = Lh + Li
+
+        txt = TextEmbeddings(enc, dtype=self.dtype, name="embeddings")(
+            input_ids, token_type_ids, deterministic=deterministic)
+        img = Dense(enc.hidden_size, dtype=self.dtype,
+                    name="img_embedding")(img_feats.astype(self.dtype))
+        x = jnp.concatenate([txt, img], axis=1)
+
+        full_bias = additive_mask(input_mask)               # (B,1,1,L)
+        full_rows = jnp.broadcast_to(full_bias, (B, 1, L, L))
+
+        # stage A: text rows see chunk-internal text + visible image; image
+        # rows see nothing of the text (reference :178-183)
+        chunk_bias = (1.0 - chunk_mask.astype(jnp.float32)) * -10000.0
+        stage_a = full_rows
+        stage_a = stage_a.at[:, :, :Lh, :Lh].set(chunk_bias[:, None])
+        stage_a = stage_a.at[:, :, Lh:, :Lh].set(-10000.0)
+
+        # stage C: text rows as stage A; image rows identity-only (:190-200)
+        eye = jnp.eye(Li, dtype=jnp.float32)
+        img_rows = jnp.concatenate(
+            [jnp.zeros((Li, Lh), jnp.float32), eye], axis=1)
+        img_rows = (1.0 - img_rows) * -10000.0
+        stage_c = full_rows
+        stage_c = stage_c.at[:, :, :Lh, :Lh].set(chunk_bias[:, None])
+        stage_c = stage_c.at[:, :, Lh:, :].set(img_rows[None, None])
+
+        token_mask = input_mask[:, :Lh]
+        chunk_hidden = None
+        cross_probs = []
+        for i in range(enc.num_hidden_layers):
+            if i in self.cfg.chunk_layers:
+                bias, chunk_q = stage_a, False
+            elif i in self.cfg.cross_modal_layers:
+                bias, chunk_q = stage_c, True
+                if chunk_hidden is None:
+                    chunk_hidden = x
+            else:
+                bias, chunk_q = full_bias, False
+            y, probs = StagedLayer(enc, dtype=self.dtype,
+                                   name=f"layer_{i}")(
+                x, bias, deterministic=deterministic,
+                gather_index=gather_index, token_mask=token_mask,
+                num_chunks=num_chunks, chunk_query=chunk_q, hypo_len=Lh)
+            if self.cfg.add_local_residual \
+                    and i in self.cfg.cross_modal_layers:
+                x = y + x
+            else:
+                x = y
+            if i in self.cfg.cross_modal_layers:
+                cross_probs.append(probs)
+        if self.cfg.add_residual and chunk_hidden is not None:
+            x = x + chunk_hidden
+        pooled = Pooler(dtype=self.dtype, name="pooler")(x)
+        return x, pooled, jnp.stack(cross_probs, 1), chunk_hidden
+
+
+class GlobalVLEncoder(nn.Module):
+    """Plain joint text⊕image encoder + pooler (BertImgModel role)."""
+
+    cfg: ChunkAlignConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, img_feats, input_mask,
+                 token_type_ids=None, deterministic=True):
+        from icka_tpu.nn.attention import Encoder
+        enc = self.cfg.encoder
+        txt = TextEmbeddings(enc, dtype=self.dtype, name="embeddings")(
+            input_ids, token_type_ids, deterministic=deterministic)
+        img = Dense(enc.hidden_size, dtype=self.dtype,
+                    name="img_embedding")(img_feats.astype(self.dtype))
+        x = jnp.concatenate([txt, img], axis=1)
+        x = Encoder(enc, dtype=self.dtype, name="encoder")(
+            x, additive_mask(input_mask), deterministic)
+        pooled = Pooler(dtype=self.dtype, name="pooler")(x)
+        return x, pooled
+
+
+class ClsAttentionLayer(nn.Module):
+    """CLS token cross-attends over an alignment memory (`ClsLayer2`)."""
+
+    cfg: EncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, memory, cls, mem_bias, deterministic=True):
+        a = MultiHeadAttention(self.cfg.num_attention_heads,
+                               dtype=self.dtype, name="attn")(
+            cls[:, None, :], kv=memory, bias=mem_bias,
+            deterministic=deterministic)
+        x = AttentionOutput(self.cfg.layer_norm_eps, dtype=self.dtype,
+                            name="attn_out")(a, cls[:, None, :],
+                                             deterministic)
+        x = FeedForward(self.cfg.intermediate_size, self.cfg.layer_norm_eps,
+                        dtype=self.dtype, name="ffn")(x, deterministic)
+        return x[:, 0]
+
+
+def binary_to_mp(logits, num_choices: int):
+    """Per-choice binary logits (B·C, 2) → multiple-choice scores (B, C)
+    from the positive-class probability."""
+    pos = jax.nn.softmax(logits, axis=-1)[:, 1]
+    return pos.reshape(-1, num_choices)
+
+
+class ChunkAlignCLS(nn.Module):
+    """ChunkAlign_CLS_enc4_align: answer classification + align loss."""
+
+    cfg: ChunkAlignConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        enc = self.cfg.encoder
+        self.global_enc = GlobalVLEncoder(self.cfg, dtype=self.dtype,
+                                          name="global_enc")
+        self.seq_enc = StagedVLEncoder(self.cfg, dtype=self.dtype,
+                                       name="seq_enc")
+        self.cls_ensemble = Dense(enc.hidden_size, dtype=self.dtype,
+                                  name="cls_ensemble")
+        self.cls_layers = [ClsAttentionLayer(enc, dtype=self.dtype,
+                                             name=f"cls_layer_{i}")
+                           for i in range(3)]
+        self.classifier = Dense(2, dtype=self.dtype, name="classifier")
+
+    def _headless(self, input_ids, img_feats, input_mask, chunk_mask,
+                  gather_index, num_chunks, deterministic):
+        B, Lh = input_ids.shape
+        g_seq, g_cls = self.global_enc(input_ids, img_feats, input_mask,
+                                       deterministic=deterministic)
+        s_seq, s_cls, cross_probs, chunk_hidden = self.seq_enc(
+            input_ids, img_feats, input_mask, chunk_mask, gather_index,
+            num_chunks, deterministic=deterministic)
+        cls = self.cls_ensemble(jnp.concatenate([g_cls, s_cls], -1))
+        memory = jnp.concatenate(
+            [g_seq[:, 1:Lh], s_seq[:, 1:Lh], chunk_hidden[:, 1:Lh]], axis=1)
+        word_mask = input_mask[:, 1:Lh]
+        mem_bias = additive_mask(
+            jnp.concatenate([word_mask] * 3, axis=1))
+        for layer in self.cls_layers:
+            cls = layer(memory, cls, mem_bias, deterministic)
+        logits = self.classifier(cls)                   # (B·C, 2)
+        return logits, cross_probs
+
+    def __call__(self, input_ids, img_feats, input_mask, chunk_mask,
+                 gather_index, num_chunks: int, label=None,
+                 align_pos=None, total_label=None, deterministic=True):
+        """Train path: returns (cls_loss, matched, align_loss, n_correct,
+        n_supervised) like the reference forward (:1070-1083).
+        `label` is (B·C,) binary; `align_pos`/`total_label` (B·C, Lh-ish)
+        mark supervised alignment positions and their gold region index."""
+        B_C, Lh = input_ids.shape
+        C = self.cfg.num_choices
+        logits, cross_probs = self._headless(
+            input_ids, img_feats, input_mask, chunk_mask, gather_index,
+            num_chunks, deterministic)
+        if label is None:
+            scores = binary_to_mp(logits, C)
+            return scores.argmax(-1), scores
+
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        cls_loss = -jnp.mean(
+            jnp.take_along_axis(logp, label[:, None].astype(jnp.int32), 1))
+        scores = binary_to_mp(logits, C)
+        pred = scores.argmax(-1)
+        gold = label.reshape(-1, C).argmax(-1)
+        matched = pred == gold
+
+        # align loss: last-3-layer attention, summed over layers+heads,
+        # text→image block, supervised positions only (:1074-1080)
+        attn = cross_probs.sum(axis=(1, 2))             # (B·C, L, L)
+        attn = attn[:, :Lh, Lh:]
+        attn = jnp.where(attn == 0, -1e5, attn)
+        attn = jax.nn.log_softmax(attn, axis=-1)
+        sup = (align_pos > 0).astype(jnp.float32)        # (B·C, Lh)
+        gold_region = total_label.astype(jnp.int32)      # (B·C, Lh)
+        picked = jnp.take_along_axis(attn, gold_region[..., None],
+                                     axis=-1)[..., 0]
+        n_sup = jnp.maximum(sup.sum(), 1.0)
+        align_loss = -(picked * sup).sum() / n_sup
+        correct = ((attn.argmax(-1) == gold_region)
+                   .astype(jnp.float32) * sup).sum()
+        return cls_loss, matched, align_loss, correct, sup.sum()

@@ -1,0 +1,165 @@
+"""The my_bert model family: gated bichannel fusion + contrastive knowledge
+alignment over a single legacy-BERT encoder.
+
+Rebuilds `MTCCMBertForMMTokenClassificationCRF` from
+`my_bert/gate_cl_modeling.py:1248-1400` (variant="gate_cl"),
+`my_bert/cl_modeling.py:1252` (variant="cl") and
+`my_bert/ip_modeling.py:1247` (variant="ip") as one model with a variant
+switch — the three reference files are ~95% identical copies.
+
+TPU-native deltas from the reference:
+
+  - InfoNCE is fully vectorized: one (B, B) cosine-similarity matrix and a
+    log-softmax diagonal, replacing the per-sample Python loops
+    (`gate_cl_modeling.py:1280-1309`) — the SURVEY-flagged obvious XLA win;
+  - the negative-pair construction (swapping the cross-modal features of the
+    last `negative_rate` samples, :1348-1356) is a static batch permutation
+    (`negative_swap_permutation`) instead of an in-place tensor shuffle;
+  - everything (losses included) compiles into one XLA program.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from icka_tpu.core.config import GateCLConfig
+from icka_tpu.nn.attention import CrossEncoder
+from icka_tpu.nn.bert import TextEncoder
+from icka_tpu.nn.crf import CRF
+from icka_tpu.nn.layers import Dense, additive_mask
+
+
+def negative_swap_permutation(batch: int, negative_rate: int) -> np.ndarray:
+    """Index permutation replicating the reference's negative-sample swap:
+    within the last `negative_rate` samples, the first half exchanges
+    cross-modal features with the second half (:1348-1356)."""
+    idx = np.arange(batch)
+    if negative_rate and batch > negative_rate:
+        r = negative_rate
+        half = r // 2
+        lo = batch - r
+        mid = batch - r + half
+        front = idx[lo:mid].copy()
+        idx[lo:mid] = idx[mid:batch - r + 2 * half]
+        idx[mid:batch - r + 2 * half] = front
+    return idx
+
+
+def info_nce(text_h, image_h, temp, temp_lamb):
+    """Bidirectional InfoNCE over cosine similarities
+    (`total_loss`/`text_toimage_loss`/`image_totext_loss`, :1276-1316).
+    Returns the same scalar as the reference's per-sample loops."""
+    t = text_h / jnp.linalg.norm(text_h, axis=-1, keepdims=True)
+    v = image_h / jnp.linalg.norm(image_h, axis=-1, keepdims=True)
+    sim = (t @ v.T) / temp                                    # (B, B)
+    diag = jnp.arange(sim.shape[0])
+    t2i = -(sim[diag, diag] - jnp.log(jnp.sum(jnp.exp(sim), axis=1)))
+    i2t = -(sim.T[diag, diag] - jnp.log(jnp.sum(jnp.exp(sim.T), axis=1)))
+    B = sim.shape[0]
+    return (temp_lamb * jnp.sum(t2i) + (1 - temp_lamb) * jnp.sum(i2t)) / B
+
+
+class GateCLModel(nn.Module):
+    cfg: GateCLConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        H = cfg.encoder.hidden_size
+        self.bert = TextEncoder(cfg.encoder, with_pooler=True,
+                                dtype=self.dtype, name="bert")
+        self.drop = nn.Dropout(cfg.encoder.hidden_dropout_prob)
+        self.vismap2text = Dense(H, dtype=self.dtype, name="vismap2text")
+        self.txt2img = CrossEncoder(cfg.encoder, cfg.layer_num1,
+                                    dtype=self.dtype, name="txt2img")
+        self.classifier = Dense(cfg.num_labels, dtype=self.dtype,
+                                name="classifier")
+        self.crf = CRF(num_tags=cfg.num_labels, name="crf")
+        if cfg.variant == "gate_cl":
+            self.crs_classifier = Dense(2, dtype=self.dtype,
+                                        name="crs_classifier")
+        if cfg.variant in ("gate_cl", "cl"):
+            self.gate_text = Dense(H, dtype=self.dtype, name="gate_text")
+            self.gate_image = Dense(H, dtype=self.dtype, name="gate_image")
+            self.text_dense_cl = Dense(H, dtype=self.dtype,
+                                       name="text_dense_cl")
+            self.text_output_cl = Dense(H, dtype=self.dtype,
+                                        name="text_output_cl")
+            self.image_dense_cl = Dense(H, dtype=self.dtype,
+                                        name="image_dense_cl")
+            self.image_output_cl = Dense(H, dtype=self.dtype,
+                                         name="image_output_cl")
+
+    def __call__(self, input_ids, segment_ids, input_mask, img_mask,
+                 visual_mean, visual_grid, labels=None, deterministic=True):
+        """Train: returns scalar loss; inference (labels=None): decoded tags.
+        Matches the reference calling convention (:1319-1400)."""
+        cfg = self.cfg
+        B = input_ids.shape[0]
+        seq, pooled = self.bert(input_ids, input_mask, segment_ids,
+                                deterministic=deterministic)
+        seq = self.drop(seq, deterministic=deterministic)
+
+        grid = visual_grid.reshape(B, -1, visual_grid.shape[-1])
+        grid = self.vismap2text(grid)
+        cross = self.txt2img(seq, grid, additive_mask(img_mask),
+                             deterministic=deterministic)
+
+        training = labels is not None
+        aux_loss = 0.0
+        if cfg.variant == "gate_cl":
+            if training:
+                perm = negative_swap_permutation(B, cfg.negative_rate)
+                cross_used = cross[jnp.asarray(perm)]
+                labels_crs = jnp.asarray(
+                    (np.arange(B) < B - cfg.negative_rate).astype(np.int32)
+                    if cfg.negative_rate and B > cfg.negative_rate
+                    else np.ones(B, np.int32))
+            else:
+                cross_used = cross
+                labels_crs = None
+            crs_logits = self.crs_classifier(
+                jnp.concatenate([seq, cross_used], axis=-1).reshape(B, -1))
+            P = nn.softmax(crs_logits, axis=-1)[:, -1]
+            cross_used = P[:, None, None] * cross_used
+            gate = nn.sigmoid(self.gate_text(seq)
+                              + self.gate_image(cross_used))
+            gated = gate * cross_used
+            if training:
+                logp = nn.log_softmax(crs_logits, axis=-1)
+                crs_loss = -jnp.mean(
+                    jnp.take_along_axis(logp, labels_crs[:, None], 1))
+                aux_loss = aux_loss + crs_loss
+        elif cfg.variant == "cl":
+            gate = nn.sigmoid(self.gate_text(seq) + self.gate_image(cross))
+            gated = gate * cross
+        else:  # "ip"
+            gated = cross
+
+        final = jnp.concatenate([seq, gated], axis=-1)
+        emissions = self.classifier(final)
+
+        # contrastive projection heads run unconditionally so params exist
+        # whether the module is initialized from the train or infer path
+        if cfg.variant in ("gate_cl", "cl"):
+            text_cl = self.text_output_cl(
+                nn.relu(self.text_dense_cl(pooled)))
+            image_cl = self.image_output_cl(
+                nn.relu(self.image_dense_cl(visual_mean)))
+
+        if not training:
+            return self.crf.decode(emissions, input_mask)
+
+        if cfg.variant in ("gate_cl", "cl"):
+            aux_loss = aux_loss + info_nce(text_cl, image_cl,
+                                           cfg.temp, cfg.temp_lamb)
+
+        main_loss = -self.crf(emissions, labels, input_mask,
+                              reduction="mean")
+        if cfg.variant == "ip":
+            return main_loss
+        alpha = cfg.alpha if cfg.variant == "gate_cl" else cfg.cl_alpha
+        return alpha * main_loss + (1 - alpha) * aux_loss

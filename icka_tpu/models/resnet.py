@@ -1,0 +1,163 @@
+"""ResNet visual backbone, TPU-native (NHWC, XLA `conv_general_dilated`
+onto the MXU).
+
+Rebuilds the reference's torchvision-style ResNet-152
+(`resnet/resnet.py:57-213`: Bottleneck [3, 8, 36, 3]) and the `myResnet`
+wrapper (`resnet/resnet_utils.py:13-51`) that feeds the MNER pipeline with a
+triple output:
+
+    pooled (B, 2048)        — global average pool
+    fc     (B, 2048)        — spatial mean (identical value, kept for parity)
+    att    (B, 7, 7, 2048)  — the 7×7 region grid consumed by the fusion
+
+Differences from the reference are layout-only: NHWC activations and HWIO
+kernels (TPU-preferred); the weight converter transposes torchvision's
+NCHW/OIHW tensors. BatchNorm runs in inference mode with imported running
+statistics — the driver always evaluates the CNN under `no_grad` unless
+`fine_tune_cnn` (`My_cross_attention.py:804-805`), and `stop_gradient` gives
+the same gating here.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+class ConvBN(nn.Module):
+    """conv (no bias) + frozen-statistics batchnorm."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.kernel // 2
+        from icka_tpu.nn.layers import matmul_precision
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=((pad, pad), (pad, pad)), use_bias=False,
+                    dtype=self.dtype, precision=matmul_precision(self.dtype),
+                    name="conv")(x)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros(self.features, jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones(self.features, jnp.float32))
+        inv = scale * jax.lax.rsqrt(var.value + 1e-5)
+        return (x.astype(jnp.float32) - mean.value) * inv + bias
+
+
+class Bottleneck(nn.Module):
+    """1×1 reduce → 3×3 → 1×1 expand (×4) with projection shortcut
+    (`resnet/resnet.py:57-93`)."""
+
+    width: int
+    stride: int = 1
+    project: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.relu(ConvBN(self.width, 1, dtype=self.dtype,
+                             name="conv1")(x))
+        out = nn.relu(ConvBN(self.width, 3, self.stride, dtype=self.dtype,
+                             name="conv2")(out))
+        out = ConvBN(self.width * 4, 1, dtype=self.dtype, name="conv3")(out)
+        if self.project:
+            x = ConvBN(self.width * 4, 1, self.stride, dtype=self.dtype,
+                       name="downsample")(x)
+        return nn.relu(out + x)
+
+
+class ResNet(nn.Module):
+    """torchvision-layout ResNet. `layers=[3, 8, 36, 3]` = ResNet-152."""
+
+    layers: Sequence[int] = (3, 8, 36, 3)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(ConvBN(64, 7, 2, dtype=self.dtype, name="stem")(x))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for stage, blocks in enumerate(self.layers):
+            width = 64 * (2 ** stage)
+            for b in range(blocks):
+                stride = 2 if (b == 0 and stage > 0) else 1
+                x = Bottleneck(width, stride, project=(b == 0),
+                               dtype=self.dtype,
+                               name=f"layer{stage + 1}_{b}")(x)
+        return x  # (B, 7, 7, 2048) for 224×224 input
+
+
+class VisualBackbone(nn.Module):
+    """`myResnet`-equivalent triple output over NHWC images."""
+
+    layers: Sequence[int] = (3, 8, 36, 3)
+    att_size: int = 7
+    fine_tune: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images):
+        feat = ResNet(self.layers, dtype=self.dtype, name="resnet")(images)
+        if not self.fine_tune:
+            feat = jax.lax.stop_gradient(feat)
+        B, H, W, C = feat.shape
+        fc = jnp.mean(feat, axis=(1, 2))
+        if (H, W) != (self.att_size, self.att_size):
+            att = jax.image.resize(  # adaptive_avg_pool2d equivalent at 7×7
+                feat, (B, self.att_size, self.att_size, C), method="linear")
+        else:
+            att = feat
+        pooled = fc
+        return pooled, fc, att
+
+
+def resnet152(dtype=jnp.float32) -> VisualBackbone:
+    return VisualBackbone(layers=(3, 8, 36, 3), dtype=dtype)
+
+
+def resnet_params_from_torch(sd: dict, layers=(3, 8, 36, 3)) -> dict:
+    """torchvision `resnet152.pth` state dict → `VisualBackbone` variables
+    {"params": ..., "batch_stats": ...}. Conv kernels OIHW→HWIO."""
+
+    def np32(x):
+        if hasattr(x, "detach"):
+            x = x.detach().cpu().numpy()
+        return np.asarray(x, dtype=np.float32)
+
+    def convbn(conv_key, bn_key):
+        p = {"conv": {"kernel": np32(sd[f"{conv_key}.weight"])
+                      .transpose(2, 3, 1, 0)},
+             "scale": np32(sd[f"{bn_key}.weight"]),
+             "bias": np32(sd[f"{bn_key}.bias"])}
+        s = {"mean": np32(sd[f"{bn_key}.running_mean"]),
+             "var": np32(sd[f"{bn_key}.running_var"])}
+        return p, s
+
+    params, stats = {}, {}
+    params["stem"], stats["stem"] = convbn("conv1", "bn1")
+    for stage, blocks in enumerate(layers):
+        for b in range(blocks):
+            name = f"layer{stage + 1}_{b}"
+            pfx = f"layer{stage + 1}.{b}"
+            bp, bs = {}, {}
+            for i in (1, 2, 3):
+                bp[f"conv{i}"], bs[f"conv{i}"] = convbn(
+                    f"{pfx}.conv{i}", f"{pfx}.bn{i}")
+            if f"{pfx}.downsample.0.weight" in sd:
+                bp["downsample"], bs["downsample"] = convbn(
+                    f"{pfx}.downsample.0", f"{pfx}.downsample.1")
+            params[name] = bp
+            stats[name] = bs
+    return {"params": {"resnet": params}, "batch_stats": {"resnet": stats}}

@@ -1,0 +1,245 @@
+"""Transformer blocks: self-attention and cross-modal co-attention.
+
+Rebuilds the semantics of the reference's legacy BERT stack
+(`Cross_Modal_Interaction_Module.py:415-697`) as einsum-based flax modules
+that XLA fuses onto the MXU:
+
+  - `SelfAttentionLayer`   ≙ BertLayer (:431) — self-attn + FFN, post-LN
+  - `CrossAttentionLayer`  ≙ BertCrossAttentionLayer (:639) — queries from
+    stream 1, keys/values from stream 2 (BertCoAttention :568-624)
+  - `Encoder` / `CrossEncoder` ≙ BertEncoder (:415) / BertCrossEncoder (:653)
+  - `Pooler` ≙ BertPooler (:669)
+  - `GatedCrossAttention` ≙ cross_attention_Y (:700-837) — Bart-style MHA
+    with temperature `tau`, `neg_type` (1 − softmax) and additive
+    `prior_score`, used by the knowledge-alignment ClsLayer_Y (:842).
+
+Attention uses one fused einsum per projection over all heads (no per-head
+loops), additive −10000 masks, and fp32 softmax. Head dimension layout is
+(B, S, N, H) throughout — XLA lays this out efficiently for the MXU without
+the reference's permute/contiguous dance.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from icka_tpu.core.config import EncoderConfig
+from icka_tpu.nn.layers import ACT2FN, Dense, LayerNorm, matmul_precision
+
+
+def _split_heads(x, num_heads):
+    B, S, D = x.shape
+    return x.reshape(B, S, num_heads, D // num_heads)
+
+
+def _merge_heads(x):
+    B, S, N, H = x.shape
+    return x.reshape(B, S, N * H)
+
+
+def dot_product_attention(q, k, v, bias=None, dtype=jnp.float32,
+                          dropout_rng=None, dropout_rate=0.0,
+                          deterministic=True, scale=None, tau=1.0,
+                          neg_type=False, prior=None):
+    """Multi-head attention core. q,k,v: (B, S, N, H). bias broadcastable to
+    (B, N, Sq, Sk). fp32 softmax regardless of compute dtype."""
+    N, H = q.shape[-2], q.shape[-1]
+    scale = (H ** -0.5) if scale is None else scale
+    scores = jnp.einsum("bqnh,bknh->bnqk", q, k,
+                        preferred_element_type=jnp.float32,
+                        precision=matmul_precision(dtype)) * scale
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = nn.softmax(scores / tau, axis=-1)
+    if neg_type:
+        probs = 1.0 - probs
+    if prior is not None:
+        probs = probs + prior.astype(jnp.float32)
+    if dropout_rate > 0.0 and not deterministic:
+        import jax
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    probs = probs.astype(dtype)
+    return jnp.einsum("bnqk,bknh->bqnh", probs, v,
+                      preferred_element_type=dtype,
+                      precision=matmul_precision(dtype))
+
+
+class MultiHeadAttention(nn.Module):
+    """Q/K/V/O projections around the attention core. Covers both
+    self-attention (kv = x) and co-attention (kv = other stream)."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, kv=None, bias=None, deterministic=True):
+        kv = x if kv is None else kv
+        d = x.shape[-1]
+        q = Dense(d, dtype=self.dtype, name="query",
+                  kernel_axes=("embed", "heads"))(x)
+        k = Dense(d, dtype=self.dtype, name="key",
+                  kernel_axes=("embed", "heads"))(kv)
+        v = Dense(d, dtype=self.dtype, name="value",
+                  kernel_axes=("embed", "heads"))(kv)
+        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
+        rng = (None if deterministic
+               else self.make_rng("dropout"))
+        ctx = dot_product_attention(
+            q, k, v, bias=bias, dtype=self.dtype, dropout_rng=rng,
+            dropout_rate=self.dropout_rate, deterministic=deterministic)
+        return _merge_heads(ctx)
+
+
+class AttentionOutput(nn.Module):
+    """Projection + dropout + residual + LayerNorm (BertSelfOutput :554)."""
+
+    eps: float
+    dtype: jnp.dtype = jnp.float32
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, residual, deterministic=True):
+        x = Dense(residual.shape[-1], dtype=self.dtype, name="dense",
+                  kernel_axes=("heads", "embed"))(x)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return LayerNorm(eps=self.eps, dtype=self.dtype,
+                         name="norm")(x + residual)
+
+
+class FeedForward(nn.Module):
+    """Intermediate + Output FFN with post-LN residual
+    (BertIntermediate :539 / BertOutput :525)."""
+
+    intermediate: int
+    eps: float
+    act: str = "gelu"
+    dtype: jnp.dtype = jnp.float32
+    dropout_rate: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        h = Dense(self.intermediate, dtype=self.dtype, name="wi",
+                  kernel_axes=("embed", "mlp"))(x)
+        h = ACT2FN[self.act](h)
+        h = Dense(x.shape[-1], dtype=self.dtype, name="wo",
+                  kernel_axes=("mlp", "embed"))(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return LayerNorm(eps=self.eps, dtype=self.dtype, name="norm")(h + x)
+
+
+class SelfAttentionLayer(nn.Module):
+    cfg: EncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bias=None, deterministic=True):
+        a = MultiHeadAttention(
+            self.cfg.num_attention_heads, dtype=self.dtype,
+            dropout_rate=self.cfg.attention_probs_dropout_prob,
+            name="attn")(x, bias=bias, deterministic=deterministic)
+        x = AttentionOutput(self.cfg.layer_norm_eps, dtype=self.dtype,
+                            dropout_rate=self.cfg.hidden_dropout_prob,
+                            name="attn_out")(a, x, deterministic)
+        return FeedForward(self.cfg.intermediate_size, self.cfg.layer_norm_eps,
+                           dtype=self.dtype,
+                           dropout_rate=self.cfg.hidden_dropout_prob,
+                           name="ffn")(x, deterministic)
+
+
+class CrossAttentionLayer(nn.Module):
+    """Queries from `x`, keys/values from `kv`; `bias` masks the kv stream."""
+
+    cfg: EncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, kv, bias=None, deterministic=True):
+        a = MultiHeadAttention(
+            self.cfg.num_attention_heads, dtype=self.dtype,
+            dropout_rate=self.cfg.attention_probs_dropout_prob,
+            name="attn")(x, kv=kv, bias=bias, deterministic=deterministic)
+        x = AttentionOutput(self.cfg.layer_norm_eps, dtype=self.dtype,
+                            dropout_rate=self.cfg.hidden_dropout_prob,
+                            name="attn_out")(a, x, deterministic)
+        return FeedForward(self.cfg.intermediate_size, self.cfg.layer_norm_eps,
+                           dtype=self.dtype,
+                           dropout_rate=self.cfg.hidden_dropout_prob,
+                           name="ffn")(x, deterministic)
+
+
+class Encoder(nn.Module):
+    cfg: EncoderConfig
+    num_layers: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, bias=None, deterministic=True):
+        n = self.num_layers or self.cfg.num_hidden_layers
+        for i in range(n):
+            x = SelfAttentionLayer(self.cfg, dtype=self.dtype,
+                                   name=f"layer_{i}")(x, bias, deterministic)
+        return x
+
+
+class CrossEncoder(nn.Module):
+    """Stack of cross-attention layers — the txt2img fusion
+    (`BertCrossEncoder`, depth layer_num1=5 in the flagship config)."""
+
+    cfg: EncoderConfig
+    num_layers: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, kv, bias=None, deterministic=True):
+        for i in range(self.num_layers):
+            x = CrossAttentionLayer(self.cfg, dtype=self.dtype,
+                                    name=f"layer_{i}")(x, kv, bias,
+                                                       deterministic)
+        return x
+
+
+class Pooler(nn.Module):
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        first = x[:, 0]
+        return jnp.tanh(Dense(x.shape[-1], dtype=self.dtype,
+                              name="dense")(first))
+
+
+class GatedCrossAttention(nn.Module):
+    """Bart-style MHA with pre-scaled queries, temperature and optional
+    negated attention — `cross_attention_Y` (:700-837). Bias convention
+    differs from the BERT blocks: the reference masks with `masked_fill`
+    before dividing by tau, which an additive −10000 bias reproduces."""
+
+    embed_dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, kv=None, bias=None, tau=1.0, neg_type=False,
+                 prior=None, deterministic=True):
+        kv = x if kv is None else kv
+        q = Dense(self.embed_dim, dtype=self.dtype, name="q_proj")(x)
+        k = Dense(self.embed_dim, dtype=self.dtype, name="k_proj")(kv)
+        v = Dense(self.embed_dim, dtype=self.dtype, name="v_proj")(kv)
+        q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
+        head_dim = self.embed_dim // self.num_heads
+        rng = None if deterministic else self.make_rng("dropout")
+        # reference scales q by head_dim**-0.5 *before* the matmul and then
+        # divides the (masked) scores by tau; fold both into the core.
+        ctx = dot_product_attention(
+            q, k, v, bias=bias, dtype=self.dtype, dropout_rng=rng,
+            dropout_rate=self.dropout_rate, deterministic=deterministic,
+            scale=head_dim ** -0.5, tau=tau, neg_type=neg_type, prior=prior)
+        return Dense(self.embed_dim, dtype=self.dtype,
+                     name="out_proj")(_merge_heads(ctx))

@@ -20,6 +20,13 @@ from flax import linen as nn
 NEG_INF_MASK = -10000.0
 
 
+def matmul_precision(dtype):
+    """fp32 compute means real fp32: JAX's DEFAULT matmul precision lowers
+    inputs to bf16 on TPU (and on this CPU build), which silently breaks
+    reference parity. bf16 compute keeps DEFAULT (that IS the bf16 path)."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def gelu(x):
     """erf-gelu, matching the reference exactly (not the tanh approximation)."""
     return jax.nn.gelu(x, approximate=False)
@@ -83,7 +90,8 @@ class Dense(nn.Module):
             jnp.float32,
         )
         y = jnp.matmul(x.astype(self.dtype), kernel.astype(self.dtype),
-                       preferred_element_type=self.dtype)
+                       preferred_element_type=self.dtype,
+                       precision=matmul_precision(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)

@@ -1,0 +1,129 @@
+"""Visual backbone parity: our NHWC JAX ResNet vs a torch reference
+implementing the torchvision Bottleneck layout (torchvision itself is not
+installed). Uses a shrunken depth config — the block math, striding,
+projection shortcuts, and batchnorm semantics are identical to ResNet-152."""
+
+import numpy as np
+import torch
+import torch.nn as tnn
+
+import jax
+
+from icka_tpu.models.resnet import (
+    VisualBackbone,
+    resnet_params_from_torch,
+)
+
+
+class TorchBottleneck(tnn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride, padding=1,
+                                bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU(inplace=True)
+        self.downsample = downsample
+        self.stride = stride
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class TorchResNet(tnn.Module):
+    def __init__(self, layers):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU(inplace=True)
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        for i, blocks in enumerate(layers):
+            setattr(self, f"layer{i + 1}",
+                    self._make_layer(64 * 2 ** i, blocks,
+                                     stride=1 if i == 0 else 2))
+
+    def _make_layer(self, planes, blocks, stride):
+        downsample = tnn.Sequential(
+            tnn.Conv2d(self.inplanes, planes * 4, 1, stride=stride,
+                       bias=False),
+            tnn.BatchNorm2d(planes * 4))
+        layers = [TorchBottleneck(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * 4
+        layers += [TorchBottleneck(self.inplanes, planes)
+                   for _ in range(1, blocks)]
+        return tnn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for i in range(4):
+            layer = getattr(self, f"layer{i + 1}", None)
+            if layer is not None:
+                x = layer(x)
+        return x
+
+
+def test_backbone_matches_torch(rng):
+    layers = (1, 1, 1, 1)
+    torch.manual_seed(0)
+    ref = TorchResNet(layers).eval()
+    # randomize batchnorm stats so the parity check exercises them
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.2, 0.2)
+
+    x = rng.standard_normal((2, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        feat_t = ref(torch.as_tensor(x)).numpy()          # (B, C, H, W)
+        want_fc = feat_t.mean(axis=(2, 3))
+
+    variables = resnet_params_from_torch(ref.state_dict(), layers)
+    model = VisualBackbone(layers=layers, att_size=feat_t.shape[2])
+    pooled, fc, att = model.apply(variables, x.transpose(0, 2, 3, 1))
+
+    # fp32 conv accumulation order differs between XLA and oneDNN; after 12
+    # conv+BN layers the divergence reaches ~2e-3 on near-zero activations.
+    np.testing.assert_allclose(
+        np.asarray(att).transpose(0, 3, 1, 2), feat_t, atol=5e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(fc), want_fc, atol=3e-3, rtol=3e-3)
+    np.testing.assert_allclose(np.asarray(pooled), want_fc, atol=3e-3,
+                               rtol=3e-3)
+
+
+def test_backbone_stop_gradient():
+    model = VisualBackbone(layers=(1, 1), fine_tune=False)
+    x = np.zeros((1, 32, 32, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(v):
+        pooled, _, _ = model.apply(v, x)
+        return pooled.sum()
+
+    g = jax.grad(loss)(variables)["params"]
+    leaves = jax.tree.leaves(g)
+    assert all(np.allclose(np.asarray(l), 0) for l in leaves)
+
+
+def test_resnet152_shapes():
+    model = VisualBackbone(layers=(1, 1, 1, 1))
+    x = np.zeros((1, 224, 224, 3), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    pooled, fc, att = model.apply(variables, x)
+    assert pooled.shape == (1, 2048)
+    assert fc.shape == (1, 2048)
+    assert att.shape == (1, 7, 7, 2048)

@@ -1,0 +1,119 @@
+"""End-to-end training tests on the synthetic dataset: loss decreases, eval
+produces sane chunk-F1, checkpoints round-trip, and the sharded train step
+runs on a multi-device CPU mesh (DP×TP)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from icka_tpu.core.checkpoint import Checkpointer
+from icka_tpu.core.config import ICKAConfig, TrainConfig
+from icka_tpu.core.mesh import MeshSpec, make_mesh, shard_accum_batch
+from icka_tpu.data.clip_store import ClipFeatureStore
+from icka_tpu.data.conll import read_mm_conll
+from icka_tpu.data.features import convert_examples
+from icka_tpu.data.loader import MNERLoader
+from icka_tpu.data.synthetic import generate_dataset, tiny_tokenizer
+from icka_tpu.parallel import shard_train_state
+from icka_tpu.train.trainer import ICKATrainer, filter_predictions
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    generate_dataset(str(root), n_train=16, n_valid=8, n_test=8,
+                     image_size=40, clip_dim=16)
+    tok = tiny_tokenizer(str(root / "tok"))
+    return str(root), tok
+
+
+def _setup(synth, msl=32, batch=4, accum=2):
+    root, tok = synth
+    cfg = dataclasses.replace(
+        ICKAConfig.tiny(vocab_size=len(tok.vocab) + 8),
+        clip_dim=16, max_seq_length=msl, region_dim=2048)
+    tcfg = TrainConfig(train_batch_size=batch, eval_batch_size=batch,
+                       gradient_accumulation_steps=accum,
+                       compute_dtype="float32", learning_rate=5e-3,
+                       data_axis=1, model_axis=1)
+    train_ex = read_mm_conll(os.path.join(root, "train.txt"))
+    clip = ClipFeatureStore.from_split(root, "train")
+    feats = convert_examples(train_ex, tok, msl, clip, 16)
+    trainer = ICKATrainer(cfg, tcfg, feats.spec,
+                          resnet_layers=(1, 1, 1, 1))
+    loader = MNERLoader(feats, os.path.join(root, "images"), batch, accum,
+                        train=True, decode_size=40, prefetch=0)
+    return cfg, tcfg, feats, trainer, loader
+
+
+def test_fit_loss_decreases_and_eval(synth, tmp_path):
+    cfg, tcfg, feats, trainer, loader = _setup(synth)
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    dev_loader = loader.eval_view()
+    state, history = trainer.fit(loader, dev_loader, epochs=3,
+                                 checkpointer=ckpt, log=lambda *_: None)
+    assert history[-1] < history[0], history
+    result = trainer.evaluate(state, dev_loader)
+    assert 0.0 <= result.f1 <= 1.0
+    assert np.isfinite(result.loss)
+    assert "micro avg" in result.report
+    # best checkpoint was written during fit
+    assert ckpt.manifest["best_metric"] is not None
+    # exact save/restore round-trip of the final state
+    ckpt.save(state, step=99, metric=float("inf"))
+    restored = ckpt.restore_best(state)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), state.params, restored.params)
+
+
+def test_sharded_train_step_dp_tp(synth):
+    """Full train step over a 4-device mesh (2 data × 2 model): params
+    TP-sharded, batch DP-sharded, one step executes and returns finite
+    loss. This is the multi-node test the reference never had."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    root, tok = synth
+    cfg, tcfg, feats, _, _ = _setup(synth, batch=4, accum=2)
+    tcfg = dataclasses.replace(tcfg, data_axis=2, model_axis=2)
+    mesh = make_mesh(MeshSpec(data=2, model=2))
+    trainer = ICKATrainer(cfg, tcfg, feats.spec, mesh=mesh,
+                          resnet_layers=(1, 1, 1, 1))
+    loader = MNERLoader(feats, os.path.join(root, "images"), 4, 2,
+                        train=True, decode_size=40, prefetch=0)
+    batch = next(iter(loader))
+    sample = {k: v[0] for k, v in batch.items()}
+    sample.pop("images")
+    sample.pop("label_ids")
+    sample["visual_mean"] = np.zeros((4, cfg.region_dim), np.float32)
+    sample["visual_grid"] = np.zeros((4, 7, 7, cfg.region_dim), np.float32)
+    state = trainer.init_state(jax.random.PRNGKey(0), sample, total_steps=4)
+    state = shard_train_state(state, mesh)
+    step = trainer.make_train_step()
+    batch = shard_accum_batch(mesh, batch)
+    state, loss = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # params stayed sharded on the mesh
+    any_sharded = any(
+        len(getattr(np.asarray(0), "never", []) or
+            getattr(l, "sharding", None).device_set) > 1
+        for l in jax.tree.leaves(state.params)
+        if hasattr(l, "sharding"))
+    assert any_sharded
+
+
+def test_filter_predictions_matches_driver_rules():
+    from icka_tpu.data.labels import label_map
+    lm = label_map()
+    # row: <s> B-PER X </s> PAD
+    label_ids = [[lm["<s>"], lm["B-PER"], lm["X"], lm["</s>"], 0]]
+    pred_ids = [[lm["O"], lm["B-PER"], lm["I-PER"], lm["O"], 0]]
+    output_mask = [[1, 1, 1, 1, 0]]
+    yt, yp, yt_idx, yp_idx = filter_predictions(pred_ids, label_ids,
+                                                output_mask)
+    assert yt == [["B-PER"]]
+    assert yp == [["B-PER"]]
+    assert yt_idx == [[lm["B-PER"]]]
