@@ -109,14 +109,19 @@ def bench_icka(quick: bool, batch_sizes, iters: int):
         batch = _batch(cfg, B, offset, rng, image_size)
         out = infer(params, bvars, batch)
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
+        # block every iteration: through an RPC device tunnel, un-synced
+        # executions can overlap server-side and fake impossible speedups
+        times = []
         for _ in range(iters):
+            t0 = time.perf_counter()
             out = infer(params, bvars, batch)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        pairs = B * iters / dt
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        step = sorted(times)[len(times) // 2]  # median
+        pairs = B / step
         print(f"# batch={B}: {pairs:.1f} pairs/s "
-              f"({dt / iters * 1e3:.1f} ms/step)", file=sys.stderr)
+              f"({step * 1e3:.1f} ms/step median, "
+              f"{min(times) * 1e3:.1f} min)", file=sys.stderr)
         if pairs > best:
             best, best_bs = pairs, B
     return best, best_bs

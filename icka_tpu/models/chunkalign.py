@@ -212,7 +212,14 @@ class StagedVLEncoder(nn.Module):
         if self.cfg.add_residual and chunk_hidden is not None:
             x = x + chunk_hidden
         pooled = Pooler(dtype=self.dtype, name="pooler")(x)
-        return x, pooled, jnp.stack(cross_probs, 1), chunk_hidden
+        if cross_probs:
+            probs = jnp.stack(cross_probs, 1)
+        else:  # no cross-modal stage configured (ablation)
+            probs = jnp.zeros(
+                (B, 1, enc.num_attention_heads, L, L), jnp.float32)
+        if chunk_hidden is None:
+            chunk_hidden = x
+        return x, pooled, probs, chunk_hidden
 
 
 class GlobalVLEncoder(nn.Module):
