@@ -51,6 +51,19 @@ def _batch(cfg, B, offset, rng, image_size=256):
     }
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — the flagship program takes tens of
+    minutes to compile through the device tunnel; cache it across runs."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def bench_icka(quick: bool, batch_sizes, iters: int):
     import numpy as np
     import jax
@@ -145,6 +158,7 @@ def main(argv=None):
         except RuntimeError:
             pass
 
+    _enable_compile_cache()
     if args.batch_sizes:
         batch_sizes = [int(b) for b in args.batch_sizes.split(",")]
     else:

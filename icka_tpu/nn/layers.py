@@ -50,6 +50,27 @@ def additive_mask(mask, dtype=jnp.float32):
     return (1.0 - m) * NEG_INF_MASK
 
 
+def sparsemax(logits, axis: int = -1):
+    """Sparsemax (Martins & Astudillo 2016): Euclidean projection of logits
+    onto the simplex; produces sparse attention distributions. The
+    reference imports an external `sparsemax` package as an optional
+    attention normalizer (`Cross_Modal_Interaction_Module.py:17,496`)."""
+    logits = jnp.asarray(logits, jnp.float32)
+    sorted_logits = jnp.flip(jnp.sort(logits, axis=axis), axis=axis)
+    k = jnp.arange(1, logits.shape[axis] + 1, dtype=jnp.float32)
+    shape = [1] * logits.ndim
+    shape[axis] = -1
+    k = k.reshape(shape)
+    cssv = jnp.cumsum(sorted_logits, axis=axis)
+    support = (1.0 + k * sorted_logits) > cssv
+    k_support = jnp.sum(support.astype(jnp.float32), axis=axis,
+                        keepdims=True)
+    idx = (k_support - 1).astype(jnp.int32)
+    cssv_support = jnp.take_along_axis(cssv, idx, axis=axis)
+    tau = (cssv_support - 1.0) / k_support
+    return jnp.maximum(logits - tau, 0.0)
+
+
 class LayerNorm(nn.Module):
     """TF-style LayerNorm (eps inside sqrt), fp32 statistics."""
 

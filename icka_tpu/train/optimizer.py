@@ -72,6 +72,57 @@ def warmup_linear(base_lr: float, warmup: float, total_steps: int):
     return schedule
 
 
+def bert_adam(learning_rate, b1: float = 0.9, b2: float = 0.999,
+              eps: float = 1e-6, weight_decay: float = 0.01,
+              max_grad_norm: float = 1.0,
+              mask=None) -> optax.GradientTransformation:
+    """The legacy `BertAdam` optimizer (`my_bert/optimization.py:45-162`):
+    Adam WITHOUT bias correction, per-parameter gradient clipping before
+    the moment update (:127-128), decoupled weight decay (:143-144).
+    `learning_rate` may be a schedule (pair with the warmup_* schedules)."""
+
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jax.numpy.zeros([], dtype=jax.numpy.int32),
+            mu=jax.tree.map(jax.numpy.zeros_like, params),
+            nu=jax.tree.map(jax.numpy.zeros_like, params))
+
+    def update(grads, state, params):
+        import jax.numpy as jnp
+
+        def clip(g):
+            norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            factor = jnp.minimum(1.0, max_grad_norm / (norm + 1e-6))
+            return g * factor
+
+        grads = jax.tree.map(clip, grads)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state.mu, grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state.nu, grads)
+        count = state.count + 1
+        lr = learning_rate(count) if callable(learning_rate) \
+            else learning_rate
+
+        def step(m, v, p, decayed):
+            upd = m / (jnp.sqrt(v) + eps)
+            if decayed:
+                upd = upd + weight_decay * p
+            return -lr * upd
+
+        if mask is not None:
+            decay_tree = mask(params) if callable(mask) else mask
+            updates = jax.tree.map(
+                lambda m, v, p, d: step(m, v, p, d), mu, nu, params,
+                decay_tree)
+        else:
+            updates = jax.tree.map(lambda m, v, p: step(m, v, p, True),
+                                   mu, nu, params)
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def _decay_mask(params: Any):
     """True where weight decay applies: everything except biases and
     LayerNorm/CRF-transition parameters."""

@@ -1,0 +1,164 @@
+"""Tests for the smaller inventory components: sparsemax, token/sequence
+classifiers, BertAdam, chunk preparation, ensembling, metric logger, TSV."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from icka_tpu.core.config import EncoderConfig
+from icka_tpu.data.chunking import (
+    batch_chunk_arrays,
+    chunk_arrays,
+    heuristic_chunks,
+)
+from icka_tpu.models.ensemble import (
+    AbstractSpecificGate,
+    logprob_ensemble,
+    mean_ensemble,
+    model_vote,
+)
+from icka_tpu.models.token_classifier import (
+    SequenceClassifier,
+    TokenClassifier,
+)
+from icka_tpu.nn.layers import sparsemax
+from icka_tpu.train.optimizer import (
+    bert_adam,
+    warmup_constant,
+    warmup_cosine,
+    warmup_linear,
+)
+from icka_tpu.utils import MetricLogger, SmoothedValue
+from icka_tpu.utils.tsv_file import TSVFile, tsv_writer
+
+
+def test_sparsemax_is_sparse_and_sums_to_one(rng):
+    x = rng.standard_normal((4, 8)).astype(np.float32) * 3
+    p = np.asarray(sparsemax(jnp.asarray(x)))
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-5)
+    assert (p == 0).any()          # sparse support
+    assert (p >= 0).all()
+    # uniform logits → uniform distribution
+    u = np.asarray(sparsemax(jnp.zeros((1, 5))))
+    np.testing.assert_allclose(u, 0.2, atol=1e-6)
+
+
+def test_token_classifier_trains(rng):
+    cfg = EncoderConfig.tiny()
+    B, L = 4, 10
+    ids = rng.integers(2, cfg.vocab_size, (B, L)).astype(np.int32)
+    mask = np.ones((B, L), np.int32)
+    labels = rng.integers(0, 5, (B, L)).astype(np.int32)
+    model = TokenClassifier(cfg, num_labels=5)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)
+    loss = model.apply(params, ids, mask, labels=labels,
+                       deterministic=True)
+    assert np.isfinite(float(loss))
+    logits = model.apply(params, ids, mask)
+    assert logits.shape == (B, L, 5)
+
+
+def test_sequence_classifier(rng):
+    cfg = EncoderConfig.tiny()
+    ids = rng.integers(2, cfg.vocab_size, (2, 8)).astype(np.int32)
+    model = SequenceClassifier(cfg, num_labels=3)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    loss = model.apply(params, ids, labels=np.array([0, 2], np.int32))
+    assert np.isfinite(float(loss))
+
+
+def test_bert_adam_converges():
+    """Minimize a quadratic; check no-bias-correction Adam still descends
+    and weight decay shrinks parameters."""
+    params = {"w": jnp.asarray([3.0, -2.0]), "b": jnp.asarray([1.0])}
+    opt = bert_adam(1e-1, weight_decay=0.0)
+    state = opt.init(params)
+
+    def loss(p):
+        return jnp.sum(p["w"] ** 2) + jnp.sum(p["b"] ** 2)
+
+    import optax
+    for _ in range(200):
+        g = jax.grad(loss)(params)
+        updates, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+    assert float(loss(params)) < 1e-2
+
+
+def test_bertadam_schedules():
+    for sched in (warmup_linear(1.0, 0.1, 100),
+                  warmup_constant(1.0, 0.1, 100),
+                  warmup_cosine(1.0, 0.1, 100)):
+        # ramps from 0 toward 1 during warmup
+        assert float(sched(0)) < float(sched(9)) <= 1.0
+    lin = warmup_linear(1.0, 0.1, 100)
+    np.testing.assert_allclose(float(lin(50)), 0.5, atol=1e-6)
+
+
+def test_heuristic_chunks():
+    toks = "the red car is parked".split()
+    spans = heuristic_chunks(toks)
+    # 'the' alone, 'red car' grouped, 'is' alone, 'parked' grouped
+    assert (0, 1) in spans and (1, 3) in spans and (3, 4) in spans
+    covered = sorted(i for s, e in spans for i in range(s, e))
+    assert covered == list(range(len(toks)))
+
+
+def test_chunk_arrays_layout():
+    gather, mask = chunk_arrays([(0, 2), (2, 3)], hypo_len=6, max_chunks=4)
+    # CLS at 0 → dead chunk; tokens 1,2 chunk0; token 3 chunk1
+    assert gather[1] == 0 and gather[2] == 0 and gather[3] == 1
+    assert gather[0] == 3 and gather[5] == 3
+    assert mask[1, 2] == 1 and mask[1, 3] == 0
+    assert mask[0].all() and mask[:, 0].all()
+    g, m = batch_chunk_arrays([["a", "dog"]], hypo_len=6, max_chunks=4)
+    assert g.shape == (1, 6) and m.shape == (1, 6, 6)
+
+
+def test_ensembles():
+    a = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    b = jnp.asarray([[3.0, 0.0], [1.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(mean_ensemble([a, b])),
+                               [[2.0, 0.0], [0.5, 0.5]])
+    lp = np.asarray(logprob_ensemble([a, b]))
+    assert lp.shape == (2, 2) and (lp <= 0).all()
+    votes = model_vote([np.array([0, 1, 2]), np.array([0, 1, 1]),
+                        np.array([1, 1, 2])])
+    np.testing.assert_array_equal(votes, [0, 1, 2])
+
+
+def test_abstract_specific_gate(rng):
+    m = AbstractSpecificGate(hidden=8)
+    af = rng.standard_normal((2, 8)).astype(np.float32)
+    sf = rng.standard_normal((2, 8)).astype(np.float32)
+    a = rng.standard_normal((2, 4)).astype(np.float32)
+    s = rng.standard_normal((2, 4)).astype(np.float32)
+    params = m.init(jax.random.PRNGKey(0), af, sf, a, s)
+    out = m.apply(params, af, sf, a, s)
+    assert out.shape == (2, 4)
+
+
+def test_metric_logger():
+    m = MetricLogger()
+    for i in range(10):
+        m.update(loss=float(i))
+    assert m.meters["loss"].count == 10
+    assert m.meters["loss"].global_avg == 4.5
+    assert "loss" in str(m)
+    sv = SmoothedValue(window_size=3)
+    for v in [1, 100, 2, 3]:
+        sv.update(v)
+    assert sv.median == 3  # window [100,2,3]
+    assert sv.last == 3
+
+
+def test_tsv_file_roundtrip(tmp_path):
+    path = str(tmp_path / "data.tsv")
+    rows = [["a", "1"], ["b", "2"], ["c", "3"]]
+    tsv_writer(rows, path)
+    f = TSVFile(path)
+    assert len(f) == 3
+    assert f[1] == ["b", "2"]
+    assert f.seek(2) == ["c", "3"]
+    assert f[0] == ["a", "1"]
