@@ -104,13 +104,18 @@ def bench_icka(quick: bool, batch_sizes, iters: int):
     bvars = backbone.init(jax.random.PRNGKey(1),
                           jnp.zeros((1, crop, crop, 3), dtype))
 
-    def infer(params, bvars, batch):
+    def infer(params, bvars, batch, prev):
+        # `prev` (the previous step's decode output) feeds a runtime-data-
+        # dependent zero into the inputs: this serializes chained steps on
+        # the device even through an RPC tunnel whose block_until_ready /
+        # dispatch semantics make per-call host timing unreliable.
+        dep = jnp.where(jnp.sum(prev) > jnp.int32(2 ** 30), 1.0, 0.0)
         pixels = preprocess_images(batch["images"],
                                    jax.random.PRNGKey(0),
                                    crop_size=crop, train=False)
         pooled, mean, att = backbone.apply(bvars, pixels.astype(dtype))
         mb = {k: v for k, v in batch.items() if k != "images"}
-        mb["visual_mean"] = mean
+        mb["visual_mean"] = mean + dep
         mb["visual_grid"] = att
         return model.apply(params, mb, mask_positions, offset, mode="test")
 
@@ -120,21 +125,80 @@ def bench_icka(quick: bool, batch_sizes, iters: int):
     best_bs = 0
     for B in batch_sizes:
         batch = _batch(cfg, B, offset, rng, image_size)
-        out = infer(params, bvars, batch)
-        jax.block_until_ready(out)
-        # block every iteration: through an RPC device tunnel, un-synced
-        # executions can overlap server-side and fake impossible speedups
-        times = []
+        prev = jnp.zeros((B, cfg.max_seq_length), jnp.int32)
+        out = infer(params, bvars, batch, prev)
+        np.asarray(out)  # full warmup incl. host fetch
+        t0 = time.perf_counter()
         for _ in range(iters):
-            t0 = time.perf_counter()
-            out = infer(params, bvars, batch)
-            jax.block_until_ready(out)
-            times.append(time.perf_counter() - t0)
-        step = sorted(times)[len(times) // 2]  # median
+            out = infer(params, bvars, batch, out)
+        np.asarray(out)  # chained: total time == iters serialized steps
+        dt = time.perf_counter() - t0
+        step = dt / iters
         pairs = B / step
         print(f"# batch={B}: {pairs:.1f} pairs/s "
-              f"({step * 1e3:.1f} ms/step median, "
-              f"{min(times) * 1e3:.1f} min)", file=sys.stderr)
+              f"({step * 1e3:.1f} ms/step, {iters} chained)",
+              file=sys.stderr)
+        if pairs > best:
+            best, best_bs = pairs, B
+    return best, best_bs
+
+
+def bench_gate_cl(quick: bool, batch_sizes, iters: int):
+    """BERT-base gated-fusion family (BASELINE config 4): single encoder +
+    txt2img fusion + gate + CRF decode — the high-throughput config."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import time as _t
+
+    from icka_tpu.core.config import EncoderConfig, GateCLConfig
+    from icka_tpu.models.gate_cl import GateCLModel
+
+    if quick:
+        enc = EncoderConfig(vocab_size=1024, hidden_size=128,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            intermediate_size=256, position_offset=0,
+                            pad_token_id=0, layer_norm_eps=1e-12)
+        cfg = GateCLConfig(encoder=enc, region_dim=64, max_seq_length=32)
+    else:
+        cfg = GateCLConfig()      # BERT-base dims
+
+    dtype = jnp.bfloat16
+    model = GateCLModel(cfg, dtype=dtype)
+    rng = np.random.default_rng(0)
+    L = cfg.max_seq_length
+
+    def make(B):
+        return (
+            rng.integers(2, cfg.encoder.vocab_size, (B, L))
+            .astype(np.int32),
+            np.zeros((B, L), np.int32),
+            np.ones((B, L), np.int32),
+            np.ones((B, cfg.num_regions), np.int32),
+            rng.standard_normal((B, cfg.region_dim)).astype(np.float32),
+            rng.standard_normal((B, 7, 7, cfg.region_dim))
+            .astype(np.float32),
+        )
+
+    args0 = make(2)
+    params = model.init(jax.random.PRNGKey(0), *args0)
+    infer = jax.jit(lambda p, *a: model.apply(p, *a))
+
+    best, best_bs = 0.0, 0
+    for B in batch_sizes:
+        a = make(B)
+        out = infer(params, *a)
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(iters):
+            t0 = _t.perf_counter()
+            out = infer(params, *a)
+            jax.block_until_ready(out)
+            times.append(_t.perf_counter() - t0)
+        step = sorted(times)[len(times) // 2]
+        pairs = B / step
+        print(f"# gate_cl batch={B}: {pairs:.1f} pairs/s "
+              f"({step * 1e3:.1f} ms/step)", file=sys.stderr)
         if pairs > best:
             best, best_bs = pairs, B
     return best, best_bs
@@ -143,7 +207,7 @@ def bench_icka(quick: bool, batch_sizes, iters: int):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
-    p.add_argument("--model", default="icka", choices=["icka"])
+    p.add_argument("--model", default="icka", choices=["icka", "gate_cl"])
     p.add_argument("--batch_sizes", default=None,
                    help="comma-separated batch sizes to sweep")
     p.add_argument("--iters", type=int, default=None)
@@ -165,9 +229,10 @@ def main(argv=None):
         batch_sizes = [8] if args.quick else [32, 64, 128]
     iters = args.iters or (3 if args.quick else 20)
 
-    value, best_bs = bench_icka(args.quick, batch_sizes, iters)
+    fn = bench_icka if args.model == "icka" else bench_gate_cl
+    value, best_bs = fn(args.quick, batch_sizes, iters)
     print(json.dumps({
-        "metric": "icka_inference_pairs_per_sec_per_chip",
+        "metric": f"{args.model}_inference_pairs_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "pairs/s",
         "vs_baseline": round(value / BASELINE_PAIRS_PER_SEC, 4),
