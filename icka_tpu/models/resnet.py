@@ -127,9 +127,16 @@ def resnet152(dtype=jnp.float32) -> VisualBackbone:
     return VisualBackbone(layers=(3, 8, 36, 3), dtype=dtype)
 
 
-def resnet_params_from_torch(sd: dict, layers=(3, 8, 36, 3)) -> dict:
+def resnet_params_from_torch(sd: dict, layers=None) -> dict:
     """torchvision `resnet152.pth` state dict → `VisualBackbone` variables
-    {"params": ..., "batch_stats": ...}. Conv kernels OIHW→HWIO."""
+    {"params": ..., "batch_stats": ...}. Conv kernels OIHW→HWIO. `layers`
+    is inferred from the key layout when omitted."""
+    if layers is None:
+        layers = tuple(
+            1 + max((int(k.split(".")[1]) for k in sd
+                     if k.startswith(f"layer{i}.")), default=-1)
+            for i in range(1, 5))
+        layers = tuple(b for b in layers if b > 0)
 
     def np32(x):
         if hasattr(x, "detach"):
