@@ -1,0 +1,71 @@
+"""Golden regression pins: fixed-seed tiny-model outputs must not drift
+across refactors (the numerical contract the parity tests established).
+
+If an intentional change shifts these values, re-record with:
+    python tests/test_golden.py record
+"""
+
+import json
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden.json")
+
+
+def _compute():
+    from icka_tpu.core.config import ICKAConfig
+    from icka_tpu.models.icka import ICKAModel
+    from icka_tpu.nn.crf import crf_decode, crf_log_likelihood
+    from tests.test_models import make_icka_batch
+
+    out = {}
+    rng = np.random.default_rng(1234)
+
+    # CRF scalar
+    em = rng.standard_normal((2, 6, 5)).astype(np.float32)
+    tags = rng.integers(0, 5, (2, 6)).astype(np.int32)
+    mask = np.ones((2, 6), np.int32)
+    start = rng.standard_normal(5).astype(np.float32)
+    end = rng.standard_normal(5).astype(np.float32)
+    trans = rng.standard_normal((5, 5)).astype(np.float32)
+    out["crf_llh"] = float(crf_log_likelihood(em, tags, mask, start, end,
+                                              trans, "token_mean"))
+    out["crf_decode"] = np.asarray(
+        crf_decode(em, mask, start, end, trans)).tolist()
+
+    # flagship tiny forward loss
+    cfg = ICKAConfig.tiny()
+    batch, labels, mask_pos, offset = make_icka_batch(rng, cfg)
+    model = ICKAModel(cfg)
+    params = model.init(jax.random.PRNGKey(42), batch, mask_pos, offset,
+                        mode="test")
+    loss = model.apply(params, batch, mask_pos, offset, mode="train",
+                       labels=labels, deterministic=True)
+    out["icka_tiny_loss"] = float(loss)
+    return out
+
+
+def test_golden_values():
+    if not os.path.exists(GOLDEN_PATH):
+        with open(GOLDEN_PATH, "w") as f:
+            json.dump(_compute(), f, indent=2)
+        return  # first run records
+    with open(GOLDEN_PATH) as f:
+        want = json.load(f)
+    got = _compute()
+    np.testing.assert_allclose(got["crf_llh"], want["crf_llh"], rtol=1e-5)
+    np.testing.assert_array_equal(got["crf_decode"], want["crf_decode"])
+    np.testing.assert_allclose(got["icka_tiny_loss"],
+                               want["icka_tiny_loss"], rtol=1e-4)
+
+
+if __name__ == "__main__":
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "record":
+        with open(GOLDEN_PATH, "w") as f:
+            json.dump(_compute(), f, indent=2)
+        print("recorded", GOLDEN_PATH)
