@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "with a TPU platform pinned; env vars won't work)")
     p.add_argument("--cpu_devices", type=int, default=8,
                    help="virtual device count when --platform cpu")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (the "
+                        "torch.distributed.launch equivalent; coordinator "
+                        "address etc. from the standard JAX env vars)")
     return p
 
 
@@ -71,6 +75,9 @@ def _force_platform(platform, cpu_devices):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     _force_platform(args.platform, args.cpu_devices)
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()
 
     from icka_tpu.core.config import ICKAConfig, TrainConfig, load_config, \
         to_json
@@ -138,10 +145,13 @@ def main(argv=None):
     resnet_layers = (1, 1, 1, 1) if args.tiny else (3, 8, 36, 3)
     trainer = ICKATrainer(model_cfg, train_cfg, f_tr.spec,
                           resnet_layers=resnet_layers)
+    import jax
     train_loader = MNERLoader(
         f_tr, args.path_image, train_cfg.train_batch_size,
         train_cfg.gradient_accumulation_steps, train=True,
-        decode_size=256 if not args.tiny else 64, seed=train_cfg.seed)
+        decode_size=256 if not args.tiny else 64, seed=train_cfg.seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count())
     dev_loader = MNERLoader(
         f_dv, args.path_image, train_cfg.eval_batch_size, train=False,
         decode_size=256 if not args.tiny else 64)

@@ -19,17 +19,25 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _lstm_scan(x_proj, w_hh, b_hh, hidden: int, reverse: bool):
+def _lstm_scan(x_proj, w_hh, b_hh, hidden: int, reverse: bool,
+               matmul_dtype=jnp.float32):
     """x_proj: (B, L, 4H) precomputed input contribution (+ b_ih).
-    Returns (B, L, H) hidden states."""
+    Returns (B, L, H) hidden states. The recurrent matmul runs at full
+    fp32 precision when `matmul_dtype` is fp32 (torch parity); in bf16
+    mode it rides the MXU fast path (the fp32 carry is preserved)."""
     B = x_proj.shape[0]
     h0 = jnp.zeros((B, hidden), jnp.float32)
     c0 = jnp.zeros((B, hidden), jnp.float32)
+    precise = matmul_dtype == jnp.float32
+    w_hh_t = w_hh.T.astype(matmul_dtype)
 
     def step(carry, xt):
         h, c = carry
-        gates = xt + jnp.matmul(h, w_hh.T,
-                                precision=jax.lax.Precision.HIGHEST) + b_hh
+        rec = jnp.matmul(
+            h.astype(matmul_dtype), w_hh_t,
+            precision=jax.lax.Precision.HIGHEST if precise else None,
+            preferred_element_type=jnp.float32)
+        gates = xt + rec + b_hh
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         g = jnp.tanh(g)
@@ -75,5 +83,6 @@ class BiLSTM(nn.Module):
                 "bld,gd->blg", x.astype(self.dtype), w_ih.astype(self.dtype),
                 preferred_element_type=jnp.float32,
                 precision=matmul_precision(self.dtype)) + b_ih
-            outs.append(_lstm_scan(x_proj, w_hh, b_hh, H, reverse))
+            outs.append(_lstm_scan(x_proj, w_hh, b_hh, H, reverse,
+                                   matmul_dtype=self.dtype))
         return jnp.concatenate(outs, axis=-1).astype(self.dtype)

@@ -102,6 +102,12 @@ class GateCLTrainer:
             (grads, loss_sum), _ = jax.lax.scan(
                 micro, (zeros, 0.0), (batch, rngs))
             grads = jax.tree.map(lambda g: g / accum, grads)
+            finite = jnp.isfinite(loss_sum)
+            for leaf in jax.tree.leaves(grads):
+                finite = jnp.logical_and(
+                    finite, jnp.all(jnp.isfinite(leaf)))
+            grads = jax.tree.map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
             return state.apply_gradients(grads=grads), loss_sum / accum
 
         return step

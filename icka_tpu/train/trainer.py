@@ -165,6 +165,16 @@ class ICKATrainer:
             (grads, loss_sum), _ = jax.lax.scan(
                 micro, (zeros, 0.0), (batch, rngs))
             grads = jax.tree.map(lambda g: g / accum, grads)
+            # failure detection (SURVEY §5: the reference has none): a
+            # non-finite loss/grad step is skipped instead of poisoning
+            # the parameters — the optimizer state still advances so the
+            # schedule stays on track.
+            finite = jnp.isfinite(loss_sum)
+            for leaf in jax.tree.leaves(grads):
+                finite = jnp.logical_and(
+                    finite, jnp.all(jnp.isfinite(leaf)))
+            grads = jax.tree.map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
             new_state = state.apply_gradients(grads=grads)
             return new_state, loss_sum / accum
 
