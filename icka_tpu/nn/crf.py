@@ -143,6 +143,68 @@ def crf_decode(emissions, mask, start, end, trans):
     return jnp.moveaxis(tags, 0, 1)
 
 
+def crf_decode_parallel(emissions, mask, start, end, trans):
+    """Viterbi with O(log L) depth instead of an O(L) sequential scan.
+
+    TPU-native decomposition of the decode:
+      1. per-step max-plus transition matrices M_t[i,j] = trans[i,j] +
+         em_t[j] (masked steps become the max-plus identity so padding
+         passes scores through unchanged);
+      2. alphas via `associative_scan` of max-plus matrix products —
+         log₂(L) parallel steps on the VPU;
+      3. backpointers for ALL timesteps at once from the alphas (one
+         batched argmax);
+      4. backtrace via pointer doubling: backpointer maps compose
+         associatively ((f∘g)[x] = f[g[x]]), so a reverse
+         `associative_scan` of gathers yields every tag in log₂(L) steps.
+
+    Returns the same (B, L) tags as `crf_decode` (up to float-tie
+    reordering); positions past a sequence's end repeat its last tag.
+    """
+    emissions, mask, start, end, trans = _as_jnp(
+        emissions, mask, start, end, trans)
+    emissions = emissions.astype(jnp.float32)
+    B, L, T = emissions.shape
+    NEG = -1e30
+
+    # 1. masked max-plus step matrices, t = 1..L-1
+    M = trans[None, None] + emissions[:, 1:, None, :]        # (B,L-1,T,T)
+    ident = jnp.where(jnp.eye(T, dtype=bool), 0.0, NEG)
+    step_mask = mask[:, 1:, None, None] > 0
+    M = jnp.where(step_mask, M, ident[None, None])
+
+    # 2. alphas via prefix max-plus products
+    def mp(a, b):
+        return jnp.max(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+    A = jax.lax.associative_scan(mp, M, axis=1)
+    alpha0 = start[None] + emissions[:, 0]                   # (B, T)
+    alphas_rest = jnp.max(alpha0[:, None, :, None] + A, axis=2)
+    alphas = jnp.concatenate([alpha0[:, None], alphas_rest], axis=1)
+
+    # 3. all backpointers at once: bp_t[j] = argmax_i alpha_{t-1}[i]
+    #    + trans[i,j] (+ em_t[j], constant in i)
+    cand = alphas[:, :-1, :, None] + trans[None, None]       # (B,L-1,T,T)
+    bp = jnp.argmax(cand, axis=2).astype(jnp.int32)          # (B,L-1,T)
+    ident_map = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[None, None, :], bp.shape)
+    bp = jnp.where(mask[:, 1:, None] > 0, bp, ident_map)
+
+    last = jnp.argmax(alphas[:, -1] + end[None], axis=1).astype(jnp.int32)
+
+    # 4. suffix composition of backpointer maps (pointer doubling).
+    # associative_scan(reverse=True) folds as elems[L-1] ⊕ … ⊕ elems[t],
+    # so the operator must apply its LEFT argument innermost:
+    # combine(a, b)[x] = b[a[x]] yields S_t = f_t ∘ f_{t+1} ∘ … ∘ f_{L-2}.
+    def compose(a, b):
+        return jnp.take_along_axis(b, a, axis=-1)
+
+    S = jax.lax.associative_scan(compose, bp, axis=1, reverse=True)
+    idx = jnp.broadcast_to(last[:, None, None], (B, L - 1, 1))
+    tags_head = jnp.take_along_axis(S, idx, axis=2)[..., 0]
+    return jnp.concatenate([tags_head, last[:, None]], axis=1)
+
+
 def crf_marginals(emissions, mask, start, end, trans):
     """Posterior tag marginals p(y_t | x) via forward-backward (an addition
     over the reference — torchcrf exposes none). Returns (B, L, T)."""
@@ -212,9 +274,10 @@ class CRF(nn.Module):
         return crf_log_likelihood(emissions, tags, mask, start, end, trans,
                                   reduction=reduction)
 
-    def decode(self, emissions, mask):
+    def decode(self, emissions, mask, parallel: bool = True):
         start, end, trans = self._params()
-        return crf_decode(emissions, mask, start, end, trans)
+        fn = crf_decode_parallel if parallel else crf_decode
+        return fn(emissions, mask, start, end, trans)
 
     def marginals(self, emissions, mask):
         start, end, trans = self._params()

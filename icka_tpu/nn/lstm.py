@@ -1,4 +1,4 @@
-"""Bidirectional LSTM head via `lax.scan`.
+"""Bidirectional LSTM head via a fused `lax.scan`.
 
 Replaces the cuDNN-backed `nn.LSTM(hidden, hidden, bidirectional=True)` that
 feeds the CRF classifier in the flagship model
@@ -6,38 +6,45 @@ feeds the CRF classifier in the flagship model
 torch.nn.LSTM exactly (gate order i,f,g,o; separate input/hidden biases) so
 reference weights import cleanly.
 
-TPU mapping: the input projection for ALL timesteps is one large (B·L, 4H)
-matmul on the MXU outside the scan; the scan body only carries the (B, 4H)
-recurrent matmul. Recurrent math runs fp32 for parity; the big input
-projection follows the compute dtype.
+TPU mapping:
+  - the input projection for ALL timesteps and BOTH directions is one large
+    MXU matmul outside the scan;
+  - both directions run in ONE `lax.scan` (the backward direction scans the
+    time-reversed sequence), halving the sequential step count; the
+    recurrent matmul is a single batched einsum over a leading direction
+    axis of 2;
+  - the scan is unrolled (8×) to amortize loop overhead — the recurrent
+    step is tiny relative to TPU loop-iteration cost;
+  - recurrent math accumulates fp32; the matmuls follow the compute dtype
+    (fp32 → HIGHEST precision for torch parity, bf16 → MXU fast path).
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _lstm_scan(x_proj, w_hh, b_hh, hidden: int, reverse: bool,
-               matmul_dtype=jnp.float32):
-    """x_proj: (B, L, 4H) precomputed input contribution (+ b_ih).
-    Returns (B, L, H) hidden states. The recurrent matmul runs at full
-    fp32 precision when `matmul_dtype` is fp32 (torch parity); in bf16
-    mode it rides the MXU fast path (the fp32 carry is preserved)."""
-    B = x_proj.shape[0]
-    h0 = jnp.zeros((B, hidden), jnp.float32)
-    c0 = jnp.zeros((B, hidden), jnp.float32)
+def _bilstm_scan(x_proj, w_hh, b_hh, hidden: int, matmul_dtype, unroll=8):
+    """x_proj: (2, B, L, 4H) input contributions (+ b_ih), direction 0 in
+    forward time order, direction 1 time-reversed. w_hh: (2, H, 4H),
+    b_hh: (2, 1, 4H). Returns (2, B, L, H) hidden states in scan order."""
+    _, B, L, _ = x_proj.shape
+    h0 = jnp.zeros((2, B, hidden), jnp.float32)
+    c0 = jnp.zeros((2, B, hidden), jnp.float32)
     precise = matmul_dtype == jnp.float32
-    w_hh_t = w_hh.T.astype(matmul_dtype)
+    w = w_hh.astype(matmul_dtype)
 
-    def step(carry, xt):
+    def step(carry, xt):                    # xt: (2, B, 4H)
         h, c = carry
-        rec = jnp.matmul(
-            h.astype(matmul_dtype), w_hh_t,
+        rec = jnp.einsum(
+            "dbh,dhg->dbg", h.astype(matmul_dtype), w,
             precision=jax.lax.Precision.HIGHEST if precise else None,
             preferred_element_type=jnp.float32)
-        gates = xt + rec + b_hh
+        gates = xt + rec + b_hh[:, None, 0]
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         g = jnp.tanh(g)
@@ -45,9 +52,9 @@ def _lstm_scan(x_proj, w_hh, b_hh, hidden: int, reverse: bool,
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    xs = jnp.moveaxis(x_proj.astype(jnp.float32), 1, 0)  # (L, B, 4H)
-    _, hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
-    return jnp.moveaxis(hs, 0, 1)
+    xs = jnp.moveaxis(x_proj.astype(jnp.float32), 2, 0)   # (L, 2, B, 4H)
+    _, hs = jax.lax.scan(step, (h0, c0), xs, unroll=unroll)
+    return jnp.moveaxis(hs, 0, 2)                         # (2, B, L, H)
 
 
 class BiLSTM(nn.Module):
@@ -58,10 +65,12 @@ class BiLSTM(nn.Module):
 
     hidden: int
     dtype: jnp.dtype = jnp.float32
+    unroll: int = 8
 
     @nn.compact
     def __call__(self, x):
-        import math
+        from icka_tpu.nn.layers import matmul_precision
+
         in_dim = x.shape[-1]
         H = self.hidden
         k = 1.0 / math.sqrt(H)
@@ -70,19 +79,39 @@ class BiLSTM(nn.Module):
         def u(key, shape, dtype):
             return init(key, shape, dtype) - k
 
-        outs = []
-        for direction, reverse in (("fwd", False), ("bwd", True)):
-            w_ih = self.param(f"w_ih_{direction}", u, (4 * H, in_dim),
-                              jnp.float32)
-            w_hh = self.param(f"w_hh_{direction}", u, (4 * H, H), jnp.float32)
-            b_ih = self.param(f"b_ih_{direction}", u, (4 * H,), jnp.float32)
-            b_hh = self.param(f"b_hh_{direction}", u, (4 * H,), jnp.float32)
-            # One MXU matmul for every timestep's input contribution.
-            from icka_tpu.nn.layers import matmul_precision
-            x_proj = jnp.einsum(
-                "bld,gd->blg", x.astype(self.dtype), w_ih.astype(self.dtype),
-                preferred_element_type=jnp.float32,
-                precision=matmul_precision(self.dtype)) + b_ih
-            outs.append(_lstm_scan(x_proj, w_hh, b_hh, H, reverse,
-                                   matmul_dtype=self.dtype))
-        return jnp.concatenate(outs, axis=-1).astype(self.dtype)
+        params = {}
+        for direction in ("fwd", "bwd"):
+            params[direction] = dict(
+                w_ih=self.param(f"w_ih_{direction}", u, (4 * H, in_dim),
+                                jnp.float32),
+                w_hh=self.param(f"w_hh_{direction}", u, (4 * H, H),
+                                jnp.float32),
+                b_ih=self.param(f"b_ih_{direction}", u, (4 * H,),
+                                jnp.float32),
+                b_hh=self.param(f"b_hh_{direction}", u, (4 * H,),
+                                jnp.float32),
+            )
+
+        # One MXU matmul for every timestep's input contribution, both
+        # directions at once: (B, L, D) × (D, 8H).
+        w_ih_all = jnp.concatenate(
+            [params["fwd"]["w_ih"].T, params["bwd"]["w_ih"].T], axis=1)
+        proj = jnp.einsum(
+            "bld,dg->blg", x.astype(self.dtype),
+            w_ih_all.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(self.dtype))
+        fwd_in = proj[..., : 4 * H] + params["fwd"]["b_ih"]
+        bwd_in = proj[..., 4 * H:] + params["bwd"]["b_ih"]
+        x_proj = jnp.stack([fwd_in, bwd_in[:, ::-1, :]], axis=0)
+
+        w_hh = jnp.stack([params["fwd"]["w_hh"].T,
+                          params["bwd"]["w_hh"].T], axis=0)   # (2, H, 4H)
+        b_hh = jnp.stack([params["fwd"]["b_hh"],
+                          params["bwd"]["b_hh"]], axis=0)[:, None, :]
+
+        hs = _bilstm_scan(x_proj, w_hh, b_hh, H, self.dtype,
+                          unroll=self.unroll)                 # (2, B, L, H)
+        fwd_h = hs[0]
+        bwd_h = hs[1][:, ::-1, :]
+        return jnp.concatenate([fwd_h, bwd_h], axis=-1).astype(self.dtype)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from icka_tpu.nn.crf import (
     crf_decode,
+    crf_decode_parallel,
     crf_log_likelihood,
     crf_marginals,
     CRF,
@@ -133,6 +134,31 @@ def test_decode_matches_torch(rng):
         want = torch_crf_decode(em, mask, start, end, trans)
         for b, ref in enumerate(want):
             np.testing.assert_array_equal(got[b, : len(ref)], ref)
+
+
+def test_parallel_decode_matches_sequential(rng):
+    """The log-depth associative-scan Viterbi must find paths with the
+    same score as the sequential scan (tags may differ only at exact
+    float ties, which random inputs avoid)."""
+    for trial in range(6):
+        em, _, mask, start, end, trans = rand_case(
+            rng, B=5, L=13, T=6, full_mask=(trial % 2 == 0))
+        seq = np.asarray(crf_decode(em, mask, start, end, trans))
+        par = np.asarray(crf_decode_parallel(em, mask, start, end, trans))
+
+        def path_score(tags, b):
+            n = int(mask[b].sum())
+            s = start[tags[0]] + em[b, 0, tags[0]]
+            for i in range(1, n):
+                s += trans[tags[i - 1], tags[i]] + em[b, i, tags[i]]
+            return s + end[tags[n - 1]]
+
+        for b in range(em.shape[0]):
+            np.testing.assert_allclose(path_score(par[b], b),
+                                       path_score(seq[b], b),
+                                       rtol=1e-4, atol=1e-4)
+            n = int(mask[b].sum())
+            np.testing.assert_array_equal(par[b, :n], seq[b, :n])
 
 
 def test_decode_is_argmax_path(rng):
