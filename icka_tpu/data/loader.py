@@ -78,9 +78,39 @@ class MNERLoader:
             self._cache[row] = arr
         return arr
 
+    def _decode_uncached(self, rows) -> None:
+        """Fill the cache for `rows` using the native threaded batch
+        decoder when available (single-image fallback otherwise)."""
+        if self._cache is None:
+            return  # uncached mode decodes per image in _image()
+        todo = [int(r) for r in rows if int(r) not in self._cache]
+        if not todo:
+            return
+        paths = [os.path.join(self.image_dir, self.features.img_ids[r])
+                 if self.features.img_ids[r] else "" for r in todo]
+        if all(p.endswith((".jpg", ".jpeg")) for p in paths):
+            from icka_tpu.data import native
+            res = native.decode_jpeg_batch(paths, self.decode_size,
+                                           num_threads=4)
+            if res is not None:
+                arrs, failures = res
+                for i, r in enumerate(todo):
+                    arr = arrs[i]
+                    if arr.any() or failures == 0:
+                        if self._cache is not None:
+                            self._cache[r] = arr
+                        continue
+                    # zeroed row = native failure → PIL/fallback path
+                    if self._cache is not None:
+                        self._cache[r] = decode_image(
+                            paths[i], self.decode_size, self.fallback_image)
+                return
+        # fallback: per-image decode fills the cache via _image()
+
     def _assemble(self, rows: np.ndarray) -> Dict[str, np.ndarray]:
         batch = self.features.batch_dict(rows)
         batch["label_ids"] = self.features.label_ids[rows]
+        self._decode_uncached(rows)
         batch["images"] = np.stack([self._image(int(r)) for r in rows])
         return batch
 
