@@ -172,9 +172,7 @@ def convert_examples(examples: Sequence[MMExample], tokenizer,
             labels = labels[: max_seq_length - 2]
             aux = aux[: max_seq_length - 2]
 
-        ids = tokenizer.convert_tokens_to_ids(
-            [t for t in tokens]) if tokens and isinstance(tokens[0], str) \
-            else tokens
+        ids = tokenizer.convert_tokens_to_ids(tokens)
         L = len(ids)
         f.ori_input_ids[row, :L] = ids
         f.ori_input_mask[row, :L] = 1

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -59,7 +60,6 @@ def dot_product_attention(q, k, v, bias=None, dtype=jnp.float32,
     if prior is not None:
         probs = probs + prior.astype(jnp.float32)
     if dropout_rate > 0.0 and not deterministic:
-        import jax
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
                                     probs.shape)
         probs = probs * keep / (1.0 - dropout_rate)
