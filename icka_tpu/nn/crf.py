@@ -274,7 +274,12 @@ class CRF(nn.Module):
         return crf_log_likelihood(emissions, tags, mask, start, end, trans,
                                   reduction=reduction)
 
-    def decode(self, emissions, mask, parallel: bool = True):
+    def decode(self, emissions, mask, parallel: bool = False):
+        """Viterbi decode. `parallel=True` switches to the log-depth
+        associative-scan implementation — measured on v5e it only pays off
+        for LARGE tag sets: at T=15 the (T, T) max-plus tensors pad to the
+        128-lane tile and the sequential scan (≈2.7 ms at B=64, L=128) is
+        ~5 ms faster end-to-end."""
         start, end, trans = self._params()
         fn = crf_decode_parallel if parallel else crf_decode
         return fn(emissions, mask, start, end, trans)
