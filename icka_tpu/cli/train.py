@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["twitter2015", "twitter2017"])
     p.add_argument("--tokenizer_dir", default=None,
                    help="dir with vocab.json + merges.txt (RoBERTa BPE)")
+    p.add_argument("--model", default="icka",
+                   choices=["icka", "gate_cl", "cl", "ip"],
+                   help="flagship ICKA or the my_bert gate_cl family")
     p.add_argument("--model_config", default=None,
                    help="ICKAConfig JSON; default = roberta-large flagship")
     p.add_argument("--max_seq_length", type=int, default=128)
@@ -143,8 +146,25 @@ def main(argv=None):
                             model_cfg.clip_dim)
 
     resnet_layers = (1, 1, 1, 1) if args.tiny else (3, 8, 36, 3)
-    trainer = ICKATrainer(model_cfg, train_cfg, f_tr.spec,
-                          resnet_layers=resnet_layers)
+    if args.model != "icka":
+        import dataclasses as _dc
+
+        from icka_tpu.core.config import GateCLConfig
+        from icka_tpu.train.gate_cl_trainer import GateCLTrainer
+
+        if args.tiny:
+            gcfg = _dc.replace(
+                GateCLConfig.tiny(vocab_size=len(tokenizer.vocab) + 8,
+                                  variant=args.model),
+                region_dim=2048, max_seq_length=model_cfg.max_seq_length)
+        else:
+            gcfg = GateCLConfig(variant=args.model,
+                                max_seq_length=model_cfg.max_seq_length)
+        trainer = GateCLTrainer(gcfg, train_cfg,
+                                resnet_layers=resnet_layers)
+    else:
+        trainer = ICKATrainer(model_cfg, train_cfg, f_tr.spec,
+                              resnet_layers=resnet_layers)
     import jax
     train_loader = MNERLoader(
         f_tr, args.path_image, train_cfg.train_batch_size,
