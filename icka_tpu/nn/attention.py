@@ -71,11 +71,18 @@ def dot_product_attention(q, k, v, bias=None, dtype=jnp.float32,
 
 class MultiHeadAttention(nn.Module):
     """Q/K/V/O projections around the attention core. Covers both
-    self-attention (kv = x) and co-attention (kv = other stream)."""
+    self-attention (kv = x) and co-attention (kv = other stream).
+
+    `use_pallas=True` routes the (deterministic) core through the fused
+    Pallas TPU kernel (`icka_tpu.kernels.attention`) — whole-batch-element
+    VMEM-resident attention for the short-sequence regime. Training with
+    attention dropout always uses the einsum core.
+    """
 
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     dropout_rate: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, kv=None, bias=None, deterministic=True):
@@ -87,6 +94,17 @@ class MultiHeadAttention(nn.Module):
                   kernel_axes=("embed", "heads"))(kv)
         v = Dense(d, dtype=self.dtype, name="value",
                   kernel_axes=("embed", "heads"))(kv)
+        if self.use_pallas and (deterministic or self.dropout_rate == 0.0):
+            import jax as _jax
+            from icka_tpu.kernels.attention import fused_attention
+
+            B, Sq, _ = q.shape
+            Sk = k.shape[1]
+            zero_bias = (jnp.zeros((B, 1, 1, Sk), jnp.float32)
+                         if bias is None else bias)
+            return fused_attention(
+                q, k, v, zero_bias, num_heads=self.num_heads,
+                interpret=_jax.default_backend() != "tpu")
         q, k, v = (_split_heads(t, self.num_heads) for t in (q, k, v))
         rng = (None if deterministic
                else self.make_rng("dropout"))

@@ -61,7 +61,8 @@ def crf_numerator(emissions, tags, mask, start, end, trans):
     xs = (jnp.moveaxis(emissions[:, 1:], 1, 0),
           jnp.moveaxis(tags[:, 1:], 1, 0),
           jnp.moveaxis(maskf[:, 1:], 1, 0))
-    (score, last_tag), _ = jax.lax.scan(step, (score, first), xs)
+    (score, last_tag), _ = jax.lax.scan(step, (score, first), xs,
+                                        unroll=8)
     return score + end[last_tag]
 
 
@@ -82,7 +83,7 @@ def crf_log_partition(emissions, mask, start, end, trans):
 
     xs = (jnp.moveaxis(emissions[:, 1:], 1, 0),
           jnp.moveaxis(maskf[:, 1:], 1, 0))
-    alpha, _ = jax.lax.scan(step, alpha, xs)
+    alpha, _ = jax.lax.scan(step, alpha, xs, unroll=8)
     return _logsumexp(alpha + end[None, :], axis=1)
 
 
@@ -130,7 +131,9 @@ def crf_decode(emissions, mask, start, end, trans):
 
     xs = (jnp.moveaxis(emissions[:, 1:], 1, 0),
           jnp.moveaxis(maskb[:, 1:], 1, 0))
-    final_score, history = jax.lax.scan(step, score, xs)  # history (L-1, B, T)
+    # unroll amortizes TPU loop overhead: the per-step (B,T,T) compute is
+    # tiny relative to loop iteration cost at small tag counts
+    final_score, history = jax.lax.scan(step, score, xs, unroll=8)
 
     last = jnp.argmax(final_score + end[None, :], axis=1).astype(jnp.int32)
 
@@ -138,7 +141,8 @@ def crf_decode(emissions, mask, start, end, trans):
         tag = jnp.take_along_axis(bp_t, tag[:, None], axis=1)[:, 0]
         return tag, tag
 
-    _, rev_tags = jax.lax.scan(back, last, history, reverse=True)  # (L-1, B)
+    _, rev_tags = jax.lax.scan(back, last, history, reverse=True,
+                               unroll=8)
     tags = jnp.concatenate([rev_tags, last[None, :]], axis=0)      # (L, B)
     return jnp.moveaxis(tags, 0, 1)
 

@@ -55,3 +55,23 @@ def test_fused_attention_bf16(rng):
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want), atol=0.06, rtol=0.06)
+
+
+def test_mha_pallas_path_matches_einsum(rng):
+    """MultiHeadAttention(use_pallas=True) equals the einsum core."""
+    from icka_tpu.nn.attention import MultiHeadAttention
+
+    B, Sq, Sk, N, D = 2, 16, 8, 4, 32
+    x = rng.standard_normal((B, Sq, D)).astype(np.float32)
+    kv = rng.standard_normal((B, Sk, D)).astype(np.float32)
+    bias = np.zeros((B, 1, 1, Sk), np.float32)
+    bias[:, :, :, -2:] = -10000.0
+
+    ref = MultiHeadAttention(num_heads=N, dropout_rate=0.0)
+    params = ref.init(jax.random.PRNGKey(0), x, kv, jnp.asarray(bias))
+    want = ref.apply(params, x, kv, jnp.asarray(bias))
+    fast = MultiHeadAttention(num_heads=N, dropout_rate=0.0,
+                              use_pallas=True)
+    got = fast.apply(params, x, kv, jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
