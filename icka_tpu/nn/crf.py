@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from icka_tpu.nn.layers import scan_unroll
+
 
 def _logsumexp(x, axis):
     m = jax.lax.stop_gradient(jnp.max(x, axis=axis, keepdims=True))
@@ -62,7 +64,7 @@ def crf_numerator(emissions, tags, mask, start, end, trans):
           jnp.moveaxis(tags[:, 1:], 1, 0),
           jnp.moveaxis(maskf[:, 1:], 1, 0))
     (score, last_tag), _ = jax.lax.scan(step, (score, first), xs,
-                                        unroll=8)
+                                        unroll=scan_unroll())
     return score + end[last_tag]
 
 
@@ -83,7 +85,7 @@ def crf_log_partition(emissions, mask, start, end, trans):
 
     xs = (jnp.moveaxis(emissions[:, 1:], 1, 0),
           jnp.moveaxis(maskf[:, 1:], 1, 0))
-    alpha, _ = jax.lax.scan(step, alpha, xs, unroll=8)
+    alpha, _ = jax.lax.scan(step, alpha, xs, unroll=scan_unroll())
     return _logsumexp(alpha + end[None, :], axis=1)
 
 
@@ -133,7 +135,7 @@ def crf_decode(emissions, mask, start, end, trans):
           jnp.moveaxis(maskb[:, 1:], 1, 0))
     # unroll amortizes TPU loop overhead: the per-step (B,T,T) compute is
     # tiny relative to loop iteration cost at small tag counts
-    final_score, history = jax.lax.scan(step, score, xs, unroll=8)
+    final_score, history = jax.lax.scan(step, score, xs, unroll=scan_unroll())
 
     last = jnp.argmax(final_score + end[None, :], axis=1).astype(jnp.int32)
 
@@ -142,7 +144,7 @@ def crf_decode(emissions, mask, start, end, trans):
         return tag, tag
 
     _, rev_tags = jax.lax.scan(back, last, history, reverse=True,
-                               unroll=8)
+                               unroll=scan_unroll())
     tags = jnp.concatenate([rev_tags, last[None, :]], axis=0)      # (L, B)
     return jnp.moveaxis(tags, 0, 1)
 

@@ -20,6 +20,13 @@ from flax import linen as nn
 NEG_INF_MASK = -10000.0
 
 
+def scan_unroll(n: int = 8) -> int:
+    """Unroll factor for latency-bound scans: 8 on TPU (loop overhead
+    dominates tiny step bodies), 1 elsewhere (unrolling multiplies CPU
+    compile time for no benefit)."""
+    return n if jax.default_backend() == "tpu" else 1
+
+
 def matmul_precision(dtype):
     """fp32 compute means real fp32: JAX's DEFAULT matmul precision lowers
     inputs to bf16 on TPU (and on this CPU build), which silently breaks

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _bilstm_scan(x_proj, w_hh, b_hh, hidden: int, matmul_dtype, unroll=8):
+def _bilstm_scan(x_proj, w_hh, b_hh, hidden: int, matmul_dtype, unroll=None):
     """x_proj: (2, B, L, 4H) input contributions (+ b_ih), direction 0 in
     forward time order, direction 1 time-reversed. w_hh: (2, H, 4H),
     b_hh: (2, 1, 4H). Returns (2, B, L, H) hidden states in scan order."""
@@ -53,6 +53,9 @@ def _bilstm_scan(x_proj, w_hh, b_hh, hidden: int, matmul_dtype, unroll=8):
         return (h, c), h
 
     xs = jnp.moveaxis(x_proj.astype(jnp.float32), 2, 0)   # (L, 2, B, 4H)
+    if unroll is None:
+        from icka_tpu.nn.layers import scan_unroll
+        unroll = scan_unroll()
     _, hs = jax.lax.scan(step, (h0, c0), xs, unroll=unroll)
     return jnp.moveaxis(hs, 0, 2)                         # (2, B, L, H)
 
@@ -65,7 +68,7 @@ class BiLSTM(nn.Module):
 
     hidden: int
     dtype: jnp.dtype = jnp.float32
-    unroll: int = 8
+    unroll: int = 0  # 0 = backend default (8 on TPU, 1 elsewhere)
 
     @nn.compact
     def __call__(self, x):
@@ -111,7 +114,7 @@ class BiLSTM(nn.Module):
                           params["bwd"]["b_hh"]], axis=0)[:, None, :]
 
         hs = _bilstm_scan(x_proj, w_hh, b_hh, H, self.dtype,
-                          unroll=self.unroll)                 # (2, B, L, H)
+                          unroll=self.unroll or None)                 # (2, B, L, H)
         fwd_h = hs[0]
         bwd_h = hs[1][:, ::-1, :]
         return jnp.concatenate([fwd_h, bwd_h], axis=-1).astype(self.dtype)
