@@ -89,6 +89,8 @@ def main(argv=None):
 
     result = trainer.evaluate(state, loader)
     print(result.report)
+    for cls, (f1, p, r) in (result.per_class or {}).items():
+        print(f"{cls}: p = {p:.4f}, r = {r:.4f}, f1 = {f1:.4f}")
     print(f"Overall: p = {result.precision:.4f}, r = {result.recall:.4f}, "
           f"f1 = {result.f1:.4f} (acc {result.acc:.4f}, "
           f"loss {result.loss:.4f})")

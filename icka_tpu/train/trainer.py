@@ -39,7 +39,11 @@ from icka_tpu.core.mesh import (
 from icka_tpu.data.features import MMFeatures, PromptSpec
 from icka_tpu.data.images import preprocess_images
 from icka_tpu.data.labels import FILTERED_LABELS, MNER_LABELS, id_to_label
-from icka_tpu.evaluation import evaluate_chunk_f1, classification_report
+from icka_tpu.evaluation import (
+    classification_report,
+    evaluate_chunk_f1,
+    evaluate_class_f1,
+)
 from icka_tpu.models.icka import ICKAModel
 from icka_tpu.models.resnet import VisualBackbone
 from icka_tpu.train.optimizer import make_optimizer
@@ -82,6 +86,8 @@ class EvalResult:
     acc: float
     loss: float
     report: str = ""
+    per_class: dict = None  # {class: (f1, p, r)} — ner_evaluate
+    #                         `evaluate_each_class` parity
 
 
 class ICKATrainer:
@@ -272,6 +278,9 @@ class ICKATrainer:
             yp_idx_all += yp_idx
         m = evaluate_chunk_f1(yp_idx_all, yt_idx_all, label_map)
         report = classification_report(y_true_all, y_pred_all)
+        per_class = {
+            cls: evaluate_class_f1(yp_idx_all, yt_idx_all, label_map, cls)
+            for cls in ("PER", "LOC", "ORG", "MISC")}
         return EvalResult(f1=m.f1, precision=m.precision, recall=m.recall,
                           acc=m.acc, loss=float(np.mean(losses)),
-                          report=report)
+                          report=report, per_class=per_class)
