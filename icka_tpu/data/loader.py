@@ -124,14 +124,21 @@ class MNERLoader:
         n = len(self)
         for i in range(n):
             rows = idx[i * per_step:(i + 1) * per_step]
+            n_valid = len(rows)
             if len(rows) < per_step:
                 if self.train:
                     break
-                # pad the tail eval batch by repeating the last row; callers
-                # mask via output_mask row counts
+                # pad the tail eval batch by repeating the last row; the
+                # duplicates are flagged in row_valid so evaluators drop
+                # them before metrics (the reference evaluates ragged
+                # tails exactly, `My_cross_attention.py:1022-1077`)
                 pad = per_step - len(rows)
                 rows = np.concatenate([rows, np.repeat(rows[-1:], pad)])
             batch = self._assemble(rows)
+            if not self.train:
+                valid = np.zeros(per_step, np.int32)
+                valid[:n_valid] = 1
+                batch["row_valid"] = valid
             if self.train and self.accum_steps > 1:
                 batch = {
                     k: v.reshape(self.accum_steps, self.batch_size,

@@ -171,11 +171,16 @@ class GateCLTrainer:
         label_map = {l: i for i, l in enumerate(self.label_list, 1)}
         label_map["PAD"] = 0
         for batch in loader:
+            batch = dict(batch)
+            # drop padded-tail duplicate rows (see ICKATrainer.evaluate)
+            row_valid = batch.pop("row_valid", None)
+            n = (int(np.sum(row_valid)) if row_valid is not None
+                 else len(batch["label_ids"]))
             batch = shard_batch(self.mesh, batch)
             pred = self._eval_step(state, batch)
             yt, yp, ti, pi = filter_predictions(
-                np.asarray(pred), np.asarray(batch["label_ids"]),
-                np.asarray(batch["output_mask"]), self.label_list)
+                np.asarray(pred)[:n], np.asarray(batch["label_ids"])[:n],
+                np.asarray(batch["output_mask"])[:n], self.label_list)
             yt_all += yt
             yp_all += yp
             yti += ti

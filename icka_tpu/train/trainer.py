@@ -265,13 +265,22 @@ class ICKATrainer:
         label_map = {l: i for i, l in enumerate(
             self.label_list or MNER_LABELS, 1)}
         label_map["PAD"] = 0
+        weights = []
         for batch in loader:
+            batch = dict(batch)
+            # padded-tail duplicates (loader pads the last eval batch by
+            # repeating the final row) are dropped before metrics so F1
+            # matches the unpadded computation exactly
+            row_valid = batch.pop("row_valid", None)
+            n = (int(np.sum(row_valid)) if row_valid is not None
+                 else len(batch["label_ids"]))
             batch = shard_batch(self.mesh, batch)
             pred, loss = self._eval_step(state, batch)
             losses.append(float(loss))
+            weights.append(n)
             yt, yp, yt_idx, yp_idx = filter_predictions(
-                np.asarray(pred), np.asarray(batch["label_ids"]),
-                np.asarray(batch["output_mask"]), self.label_list)
+                np.asarray(pred)[:n], np.asarray(batch["label_ids"])[:n],
+                np.asarray(batch["output_mask"])[:n], self.label_list)
             y_true_all += yt
             y_pred_all += yp
             yt_idx_all += yt_idx
@@ -282,5 +291,6 @@ class ICKATrainer:
             cls: evaluate_class_f1(yp_idx_all, yt_idx_all, label_map, cls)
             for cls in ("PER", "LOC", "ORG", "MISC")}
         return EvalResult(f1=m.f1, precision=m.precision, recall=m.recall,
-                          acc=m.acc, loss=float(np.mean(losses)),
+                          acc=m.acc,
+                          loss=float(np.average(losses, weights=weights)),
                           report=report, per_class=per_class)

@@ -1,0 +1,110 @@
+"""Multi-mesh correctness grid (SURVEY §2.4): the same global batch and
+seed must produce the same loss on every mesh shape — DP-only and DP×TP,
+2/4/8 devices. This is the semantic guarantee behind "DP is a sharding
+annotation, not a wrapper" (vs the reference's NCCL DDP,
+`My_cross_attention.py:649-657,768-776`): resharding must never change
+the math, only its placement.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+
+from icka_tpu.core.config import EncoderConfig, ICKAConfig, TrainConfig
+from icka_tpu.core.mesh import MeshSpec, make_mesh, shard_accum_batch
+from icka_tpu.data.features import PromptSpec
+from icka_tpu.parallel import shard_train_state
+from icka_tpu.train.trainer import ICKATrainer
+
+GLOBAL_BATCH = 8
+ACCUM = 2
+SEQ = 16
+OFFSET = 10
+MASKS = (3, 7)
+
+
+def _tiny_cfg():
+    enc = EncoderConfig(vocab_size=256, hidden_size=32,
+                        num_hidden_layers=2, num_attention_heads=4,
+                        intermediate_size=64, max_position_embeddings=128)
+    return ICKAConfig(embedding=enc, last_encoder=enc, layer_num1=1,
+                      region_dim=2048, clip_dim=16, prompt_hidden=16,
+                      last_hidden=32, max_seq_length=SEQ)
+
+
+def _global_batch(cfg, rng):
+    B = GLOBAL_BATCH * ACCUM
+    L = cfg.max_seq_length
+    Lp = OFFSET + L
+    batch = {
+        "input_ids": rng.integers(2, cfg.embedding.vocab_size,
+                                  (B, Lp)).astype(np.int32),
+        "segment_ids": np.concatenate(
+            [np.zeros((B, OFFSET), np.int32), np.ones((B, L), np.int32)], 1),
+        "input_mask": np.ones((B, Lp), np.int32),
+        "ori_input_ids": rng.integers(2, cfg.embedding.vocab_size,
+                                      (B, L)).astype(np.int32),
+        "ori_input_mask": np.ones((B, L), np.int32),
+        "ori_segment_ids": np.zeros((B, L), np.int32),
+        "img_mask": np.ones((B, cfg.num_regions), np.int32),
+        "clip_features": rng.standard_normal((B, 1, cfg.clip_dim))
+        .astype(np.float32),
+        "output_mask": np.ones((B, L), np.int32),
+        "label_ids": rng.integers(0, cfg.num_labels, (B, L))
+        .astype(np.int32),
+        "images": rng.integers(0, 255, (B, 24, 24, 3)).astype(np.uint8),
+    }
+    return {k: v.reshape(ACCUM, GLOBAL_BATCH, *v.shape[1:])
+            for k, v in batch.items()}
+
+
+def _loss_on_mesh(data_axis: int, model_axis: int) -> float:
+    cfg = _tiny_cfg()
+    tcfg = TrainConfig(train_batch_size=GLOBAL_BATCH,
+                       gradient_accumulation_steps=ACCUM,
+                       compute_dtype="float32",
+                       data_axis=data_axis, model_axis=model_axis)
+    mesh = make_mesh(MeshSpec(data=data_axis, model=model_axis))
+    spec = PromptSpec(OFFSET, MASKS, OFFSET + SEQ, SEQ)
+    trainer = ICKATrainer(cfg, tcfg, spec, mesh=mesh,
+                          resnet_layers=(1, 1, 1, 1))
+
+    rng = np.random.default_rng(0)
+    batch = _global_batch(cfg, rng)
+
+    sample = {k: v[0] for k, v in batch.items()
+              if k not in ("images", "label_ids")}
+    sample["visual_mean"] = np.zeros((GLOBAL_BATCH, cfg.region_dim),
+                                     np.float32)
+    sample["visual_grid"] = np.zeros((GLOBAL_BATCH, 7, 7, cfg.region_dim),
+                                     np.float32)
+    import jax.numpy as jnp
+    bvars = trainer.backbone.init(jax.random.PRNGKey(2),
+                                  jnp.zeros((1, 24, 24, 3), jnp.float32))
+    state = trainer.init_state(jax.random.PRNGKey(0), sample, total_steps=4,
+                               backbone_variables=bvars)
+    state = shard_train_state(state, mesh)
+    step = trainer.make_train_step()
+    state, loss = step(state, shard_accum_batch(mesh, batch),
+                       jax.random.PRNGKey(1))
+    return float(loss)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_grid_loss_equality():
+    """DP-only and DP×TP meshes at 2/4/8 devices all compute the same
+    training loss for the same global batch; only the reduction order may
+    differ (fp32). Three shapes span the grid (pure DP small, pure DP full,
+    DP×TP) — each extra shape costs a ~3 min CPU compile on the 1-core
+    host, and (4,1)/(2,2) exercise nothing the chosen three don't."""
+    grid = [(2, 1), (8, 1), (4, 2)]
+    losses = {shape: _loss_on_mesh(*shape) for shape in grid}
+    ref = losses[(2, 1)]
+    assert np.isfinite(ref)
+    for shape, loss in losses.items():
+        np.testing.assert_allclose(
+            loss, ref, rtol=2e-5,
+            err_msg=f"mesh {shape} diverged: {losses}")

@@ -117,3 +117,40 @@ def test_filter_predictions_matches_driver_rules():
     assert yt == [["B-PER"]]
     assert yp == [["B-PER"]]
     assert yt_idx == [[lm["B-PER"]]]
+
+def test_eval_tail_padding_does_not_skew_metrics(synth):
+    """An eval set NOT divisible by the batch size must produce identical
+    chunk-F1/P/R to an exact-batch pass: the loader's padded-tail duplicate
+    rows are dropped via row_valid before metrics (the reference evaluates
+    ragged tails exactly, `My_cross_attention.py:1022-1077`)."""
+    root, tok = synth
+    cfg, tcfg, feats, trainer, loader = _setup(synth)
+    # 8 valid rows; batch 3 → batches 3+3+2(+1 pad), batch 2 → 4 exact
+    valid_ex = read_mm_conll(os.path.join(root, "valid.txt"))
+    clip = ClipFeatureStore.from_split(root, "valid")
+    vfeats = convert_examples(valid_ex, tok, 32, clip, 16)
+    assert len(vfeats) == 8
+
+    sample_loader = MNERLoader(vfeats, os.path.join(root, "images"), 2, 1,
+                               train=False, decode_size=40, prefetch=0)
+    sample = next(iter(sample_loader))
+    model_sample = {k: v for k, v in sample.items()
+                    if k not in ("images", "label_ids", "row_valid")}
+    model_sample["visual_mean"] = np.zeros((2, cfg.region_dim), np.float32)
+    model_sample["visual_grid"] = np.zeros((2, 7, 7, cfg.region_dim),
+                                           np.float32)
+    state = trainer.init_state(jax.random.PRNGKey(0), model_sample,
+                               total_steps=4)
+
+    def run(batch_size):
+        ld = MNERLoader(vfeats, os.path.join(root, "images"), batch_size, 1,
+                        train=False, decode_size=40, prefetch=0)
+        t = ICKATrainer(cfg, tcfg, feats.spec, resnet_layers=(1, 1, 1, 1))
+        return t.evaluate(state, ld)
+
+    ragged = run(3)    # tail batch has 2 valid rows + 1 duplicate
+    exact = run(2)     # divides evenly, no padding
+    assert ragged.f1 == exact.f1
+    assert ragged.precision == exact.precision
+    assert ragged.recall == exact.recall
+    assert ragged.acc == exact.acc
