@@ -64,7 +64,9 @@ def _enable_compile_cache():
         pass
 
 
-def bench_icka(quick: bool, batch_sizes, iters: int):
+def bench_icka(quick: bool, batch_sizes, iters: int, pallas: bool = False):
+    import dataclasses
+
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -87,6 +89,12 @@ def bench_icka(quick: bool, batch_sizes, iters: int):
         cfg = ICKAConfig()           # roberta-large dual encoders
         resnet_layers = (3, 8, 36, 3)
         image_size = 256
+    if pallas:
+        cfg = dataclasses.replace(
+            cfg,
+            embedding=dataclasses.replace(cfg.embedding, use_pallas=True),
+            last_encoder=dataclasses.replace(cfg.last_encoder,
+                                             use_pallas=True))
 
     dtype = jnp.bfloat16
     model = ICKAModel(cfg, dtype=dtype)
@@ -213,13 +221,81 @@ def bench_gate_cl(quick: bool, batch_sizes, iters: int):
     return best, best_bs
 
 
+def bench_train(quick: bool, batch: int, iters: int):
+    """Flagship training-step throughput (fwd+bwd+AdamW in ONE program)."""
+    import numpy as np
+    import jax
+
+    from icka_tpu.core.config import EncoderConfig, ICKAConfig, TrainConfig
+    from icka_tpu.core.mesh import shard_accum_batch
+    from icka_tpu.data.features import PromptSpec
+
+    from icka_tpu.train.trainer import ICKATrainer
+
+    if quick:
+        enc = EncoderConfig(vocab_size=1024, hidden_size=256,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            intermediate_size=512)
+        cfg = ICKAConfig(embedding=enc, last_encoder=enc, layer_num1=2,
+                         clip_dim=128, prompt_hidden=128, last_hidden=256,
+                         max_seq_length=64)
+        resnet_layers = (1, 1, 1, 1)
+        image_size = 64
+    else:
+        cfg = ICKAConfig()
+        resnet_layers = (3, 8, 36, 3)
+        image_size = 256
+
+    tcfg = TrainConfig(train_batch_size=batch,
+                       gradient_accumulation_steps=1,
+                       compute_dtype="float32" if quick else "bfloat16")
+    offset, mask_positions = 14, (3, 11)
+    spec = PromptSpec(offset, mask_positions, offset + cfg.max_seq_length,
+                      cfg.max_seq_length)
+    trainer = ICKATrainer(cfg, tcfg, spec, resnet_layers=resnet_layers)
+    rng = np.random.default_rng(0)
+
+    init_b = _batch(cfg, 2, offset, rng, image_size)
+    init_b.pop("images")
+    init_b["visual_mean"] = np.zeros((2, cfg.region_dim), np.float32)
+    init_b["visual_grid"] = np.zeros((2, 7, 7, cfg.region_dim), np.float32)
+    state = trainer.init_state(jax.random.PRNGKey(0), init_b,
+                               total_steps=1000)
+
+    batch_np = _batch(cfg, batch, offset, rng, image_size)
+    batch_np["label_ids"] = rng.integers(
+        0, cfg.num_labels, (batch, cfg.max_seq_length)).astype(np.int32)
+    batch_np = {k: v[None] for k, v in batch_np.items()}   # accum axis = 1
+    batch_dev = shard_accum_batch(trainer.mesh, batch_np)
+
+    step = trainer.make_train_step()
+    key = jax.random.PRNGKey(1)
+    state, loss = step(state, batch_dev, key)
+    float(loss)  # warmup sync
+    t0 = time.perf_counter()
+    for i in range(iters):
+        # donated state threads the data dependency; steps serialize
+        state, loss = step(state, batch_dev, key)
+    float(loss)
+    dt = (time.perf_counter() - t0) / iters
+    pairs = batch / dt
+    print(f"# train batch={batch}: {pairs:.1f} pairs/s "
+          f"({dt * 1e3:.1f} ms/step, {iters} chained)", file=sys.stderr)
+    return pairs
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
-    p.add_argument("--model", default="icka", choices=["icka", "gate_cl"])
+    p.add_argument("--model", default="icka",
+                   choices=["icka", "gate_cl", "train", "all"])
     p.add_argument("--batch_sizes", default=None,
                    help="comma-separated batch sizes to sweep")
     p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--pallas", action="store_true",
+                   help="route attention through the fused Pallas kernel")
+    p.add_argument("--skip_extras", action="store_true",
+                   help="headline icka number only, no gate_cl/train")
     args = p.parse_args(argv)
 
     if args.quick:
@@ -237,17 +313,44 @@ def main(argv=None):
     elif args.quick:
         batch_sizes = [8]
     else:
-        # best-known batch sizes per model on v5e
-        batch_sizes = [64, 128] if args.model == "icka" else [128, 256]
+        # best-known batch sizes per model on v5e (r01 sweep: 128 regressed)
+        batch_sizes = [64, 96] if args.model != "gate_cl" else [128, 256]
     iters = args.iters or (3 if args.quick else 20)
 
-    fn = bench_icka if args.model == "icka" else bench_gate_cl
-    value, best_bs = fn(args.quick, batch_sizes, iters)
+    extra = {}
+    if args.model in ("icka", "all"):
+        value, best_bs = bench_icka(args.quick, batch_sizes, iters,
+                                    pallas=args.pallas)
+        metric = "icka_inference_pairs_per_sec_per_chip"
+        extra["icka_batch"] = best_bs
+        # record the companion numbers in the same artifact (VERDICT r01:
+        # "what isn't recorded didn't happen")
+        if not args.skip_extras and not args.quick:
+            try:
+                g, gbs = bench_gate_cl(args.quick, [128, 256], iters)
+                extra["gate_cl_pairs_per_sec"] = round(g, 2)
+                extra["gate_cl_batch"] = gbs
+            except Exception as e:      # pragma: no cover
+                print(f"# gate_cl bench failed: {e}", file=sys.stderr)
+            try:
+                t = bench_train(args.quick, 32, max(5, iters // 4))
+                extra["train_pairs_per_sec"] = round(t, 2)
+                extra["train_batch"] = 32
+            except Exception as e:      # pragma: no cover
+                print(f"# train bench failed: {e}", file=sys.stderr)
+    elif args.model == "gate_cl":
+        value, best_bs = bench_gate_cl(args.quick, batch_sizes, iters)
+        metric = "gate_cl_inference_pairs_per_sec_per_chip"
+    else:
+        value = bench_train(args.quick, batch_sizes[0], iters)
+        metric = "icka_train_pairs_per_sec_per_chip"
+
     print(json.dumps({
-        "metric": f"{args.model}_inference_pairs_per_sec_per_chip",
+        "metric": metric,
         "value": round(value, 2),
         "unit": "pairs/s",
         "vs_baseline": round(value / BASELINE_PAIRS_PER_SEC, 4),
+        **extra,
     }))
 
 

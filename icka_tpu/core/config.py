@@ -53,6 +53,10 @@ class EncoderConfig:
     # BERT-style encoders.
     position_offset: int = 2
     pad_token_id: int = 1
+    # route deterministic attention through the fused Pallas TPU kernel
+    # (`icka_tpu.kernels.attention`) instead of the XLA einsum core.
+    # Default set by measurement — see DESIGN.md "Attention and kernels".
+    use_pallas: bool = False
 
     @classmethod
     def roberta_large(cls) -> "EncoderConfig":

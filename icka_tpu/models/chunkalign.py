@@ -230,7 +230,8 @@ class GlobalVLEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, input_ids, img_feats, input_mask,
-                 token_type_ids=None, deterministic=True):
+                 token_type_ids=None, deterministic=True,
+                 history_states=None, history_mask=None):
         from icka_tpu.nn.attention import Encoder
         enc = self.cfg.encoder
         txt = TextEmbeddings(enc, dtype=self.dtype, name="embeddings")(
@@ -239,7 +240,8 @@ class GlobalVLEncoder(nn.Module):
                     name="img_embedding")(img_feats.astype(self.dtype))
         x = jnp.concatenate([txt, img], axis=1)
         x = Encoder(enc, dtype=self.dtype, name="encoder")(
-            x, additive_mask(input_mask), deterministic)
+            x, additive_mask(input_mask), deterministic,
+            history_states=history_states, history_mask=history_mask)
         pooled = Pooler(dtype=self.dtype, name="pooler")(x)
         return x, pooled
 
@@ -291,10 +293,13 @@ class ChunkAlignCLS(nn.Module):
         self.classifier = Dense(2, dtype=self.dtype, name="classifier")
 
     def _headless(self, input_ids, img_feats, input_mask, chunk_mask,
-                  gather_index, num_chunks, deterministic):
+                  gather_index, num_chunks, deterministic,
+                  history_states=None, history_mask=None):
         B, Lh = input_ids.shape
         g_seq, g_cls = self.global_enc(input_ids, img_feats, input_mask,
-                                       deterministic=deterministic)
+                                       deterministic=deterministic,
+                                       history_states=history_states,
+                                       history_mask=history_mask)
         s_seq, s_cls, cross_probs, chunk_hidden = self.seq_enc(
             input_ids, img_feats, input_mask, chunk_mask, gather_index,
             num_chunks, deterministic=deterministic)
@@ -307,7 +312,9 @@ class ChunkAlignCLS(nn.Module):
         for layer in self.cls_layers:
             cls = layer(memory, cls, mem_bias, deterministic)
         logits = self.classifier(cls)                   # (B·C, 2)
-        return logits, cross_probs
+        inter = {"g_seq": g_seq, "s_seq": s_seq,
+                 "chunk_hidden": chunk_hidden, "word_mask": word_mask}
+        return logits, cross_probs, inter
 
     def __call__(self, input_ids, img_feats, input_mask, chunk_mask,
                  gather_index, num_chunks: int, label=None,
@@ -318,7 +325,7 @@ class ChunkAlignCLS(nn.Module):
         mark supervised alignment positions and their gold region index."""
         B_C, Lh = input_ids.shape
         C = self.cfg.num_choices
-        logits, cross_probs = self._headless(
+        logits, cross_probs, _ = self._headless(
             input_ids, img_feats, input_mask, chunk_mask, gather_index,
             num_chunks, deterministic)
         if label is None:
@@ -348,3 +355,135 @@ class ChunkAlignCLS(nn.Module):
         correct = ((attn.argmax(-1) == gold_region)
                    .astype(jnp.float32) * sup).sum()
         return cls_loss, matched, align_loss, correct, sup.sum()
+
+
+class ChunkAlignRationale(nn.Module):
+    """`ChunkAlign_CLS_dec5_4` (`modeling_vcr_chunkalign_v10.py:1322-1499`):
+    the ChunkAlign answer classifier plus a GPT-2 rationale decoder that
+    cross-attends over the concatenated encoder memory
+    [s_seq; g_seq; chunk_hidden] of the gold answer's row.
+
+    Train (`__call__` with expl/label args): returns
+    (gen_loss, cls_loss, matched) like the reference forward — the decoder
+    consumes the per-question gold-answer row (detached, :1386-1399) and the
+    question's first explanation candidate; LM loss ignores pad positions.
+
+    Inference (`generate`): greedy rationale decoding from the prompt
+    prefix, full-recompute per step (fixed `max_gen_len`, static shapes; the
+    reference's per-sample KV-cache python loop :1465-1495 becomes a
+    `lax.scan`). Answer selection uses the classifier's prediction.
+    """
+
+    cfg: ChunkAlignConfig
+    gpt2_cfg: "object" = None          # GPT2Config
+    pad_token_id: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        from icka_tpu.models.gpt2 import GPT2Decoder
+        self.core = ChunkAlignCLS(self.cfg, dtype=self.dtype, name="core")
+        self.dec = GPT2Decoder(self.gpt2_cfg, with_cross=True,
+                               return_hidden=True, dtype=self.dtype,
+                               name="dec")
+        self.lm_head = Dense(self.gpt2_cfg.vocab_size, use_bias=False,
+                             dtype=jnp.float32, name="lm_head")
+
+    def _encode(self, input_ids, img_feats, input_mask, chunk_mask,
+                gather_index, num_chunks, deterministic):
+        Lh = input_ids.shape[1]
+        logits, _, inter = self.core._headless(
+            input_ids, img_feats, input_mask, chunk_mask, gather_index,
+            num_chunks, deterministic)
+        # decoder memory order differs from the cls memory (:1386-1389)
+        memory = jnp.concatenate(
+            [inter["s_seq"][:, 1:Lh], inter["g_seq"][:, 1:Lh],
+             inter["chunk_hidden"][:, 1:Lh]], axis=1)
+        mem_mask = jnp.concatenate([inter["word_mask"]] * 3, axis=1)
+        return logits, memory, mem_mask
+
+    @staticmethod
+    def _choose_row(x, row_idx, C):
+        """(B·C, ...) → (B, ...) picking `row_idx` within each C-group."""
+        grouped = x.reshape((-1, C) + x.shape[1:])
+        idx = row_idx.reshape(-1, 1, *([1] * (x.ndim - 1)))
+        idx = jnp.broadcast_to(idx, (grouped.shape[0], 1)
+                               + grouped.shape[2:]).astype(jnp.int32)
+        return jnp.take_along_axis(grouped, idx, axis=1)[:, 0]
+
+    def __call__(self, input_ids, img_feats, input_mask, chunk_mask,
+                 gather_index, num_chunks: int, expl_ids, attn_mask,
+                 label, gpt_labels, deterministic=True):
+        C = self.cfg.num_choices
+        logits, memory, mem_mask = self._encode(
+            input_ids, img_feats, input_mask, chunk_mask, gather_index,
+            num_chunks, deterministic)
+
+        label = label.astype(jnp.int32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        cls_loss = -jnp.mean(jnp.take_along_axis(logp, label[:, None], 1))
+        scores = binary_to_mp(logits, C)
+        pred = scores.argmax(-1)
+        gold = label.reshape(-1, C).argmax(-1)
+        matched = pred == gold
+
+        # decoder sees the GOLD answer's memory, gradients stopped (:1386)
+        mem_chosen = self._choose_row(jax.lax.stop_gradient(memory), gold, C)
+        mask_chosen = self._choose_row(mem_mask, gold, C)
+        expl = expl_ids.reshape(gold.shape[0], C, -1)[:, 0]
+        attn = attn_mask.reshape(gold.shape[0], C, -1)[:, 0]
+        tgts = gpt_labels.reshape(gold.shape[0], C, -1)[:, 0]
+
+        hidden = self.dec(expl, attention_mask=attn, memory=mem_chosen,
+                          memory_mask=mask_chosen,
+                          deterministic=deterministic)
+        lm_logits = self.lm_head(hidden.astype(jnp.float32))
+        shift_logits = lm_logits[:, :-1]
+        shift_labels = tgts[:, 1:].astype(jnp.int32)
+        valid = (shift_labels != self.pad_token_id).astype(jnp.float32)
+        logp_lm = jax.nn.log_softmax(shift_logits, axis=-1)
+        nll = -jnp.take_along_axis(logp_lm, shift_labels[..., None],
+                                   axis=-1)[..., 0]
+        gen_loss = jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        return gen_loss, cls_loss, matched
+
+    def generate(self, input_ids, img_feats, input_mask, chunk_mask,
+                 gather_index, num_chunks: int, prompt_ids,
+                 max_gen_len: int = 30, eos_id: int = 1):
+        """Greedy rationale generation. `prompt_ids` (B, Lp) is the decoding
+        prefix (the reference slices everything before `<|b_rtnl|>`).
+        Returns (tokens (B, Lp+max_gen_len), pred_answer)."""
+        C = self.cfg.num_choices
+        logits, memory, mem_mask = self._encode(
+            input_ids, img_feats, input_mask, chunk_mask, gather_index,
+            num_chunks, True)
+        scores = binary_to_mp(logits, C)
+        pred = scores.argmax(-1)
+        mem_chosen = self._choose_row(memory, pred, C)
+        mask_chosen = self._choose_row(mem_mask, pred, C)
+
+        B, Lp = prompt_ids.shape
+        total = Lp + max_gen_len
+        buf = jnp.full((B, total), self.pad_token_id, jnp.int32)
+        buf = buf.at[:, :Lp].set(prompt_ids.astype(jnp.int32))
+        finished = jnp.zeros((B,), bool)
+
+        def body(carry, t):
+            buf, finished = carry
+            amask = (jnp.arange(total)[None, :] <= t).astype(jnp.int32)
+            hidden = self.dec(buf, attention_mask=amask, memory=mem_chosen,
+                              memory_mask=mask_chosen, deterministic=True)
+            step_logits = self.lm_head(
+                jnp.take_along_axis(
+                    hidden, jnp.full((B, 1, 1), t).astype(jnp.int32)
+                    .repeat(hidden.shape[-1], -1), axis=1)[:, 0]
+                .astype(jnp.float32))
+            nxt = step_logits.argmax(-1).astype(jnp.int32)
+            nxt = jnp.where(finished, self.pad_token_id, nxt)
+            buf = buf.at[:, t + 1].set(nxt)
+            finished = jnp.logical_or(finished, nxt == eos_id)
+            return (buf, finished), None
+
+        (buf, _), _ = jax.lax.scan(
+            body, (buf, finished),
+            jnp.arange(Lp - 1, total - 1, dtype=jnp.int32))
+        return buf, pred

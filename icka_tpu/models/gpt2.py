@@ -90,11 +90,17 @@ class GPT2Block(nn.Module):
 
 
 class GPT2Decoder(nn.Module):
-    """GPT-2 LM stack, optionally cross-attending over encoder memory."""
+    """GPT-2 LM stack, optionally cross-attending over encoder memory.
+
+    `return_hidden=True` yields the final pre-logits hidden states instead
+    of tied-embedding logits — for heads with a separate untied `lm_head`
+    (the ChunkAlign dec5_4 family, `modeling_vcr_chunkalign_v10.py:1338`).
+    """
 
     cfg: GPT2Config
     with_cross: bool = True
     dtype: jnp.dtype = jnp.float32
+    return_hidden: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask=None, memory=None,
@@ -120,6 +126,8 @@ class GPT2Decoder(nn.Module):
                                          deterministic)
         x = LayerNorm(eps=cfg.layer_norm_eps, dtype=self.dtype,
                       name="ln_f")(x)
+        if self.return_hidden:
+            return x
         logits = jnp.einsum("bld,vd->blv", x.astype(jnp.float32),
                             wte.astype(jnp.float32))
         return logits

@@ -152,15 +152,35 @@ class FeedForward(nn.Module):
 
 
 class SelfAttentionLayer(nn.Module):
+    """Self-attention + FFN. `history`/`history_bias` implement the
+    reference's `history_state` KV-concat (`modeling_vcr_chunkalign_v10.py
+    :57-61`): queries come from `x` but keys/values from
+    [history; x] — the mechanism behind the ChunkAlign decoder variants."""
+
     cfg: EncoderConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, bias=None, deterministic=True):
+    def __call__(self, x, bias=None, deterministic=True, history=None,
+                 history_bias=None):
+        kv = x
+        if history is not None:
+            kv = jnp.concatenate([history.astype(x.dtype), x], axis=1)
+            if bias is None:
+                bias = jnp.zeros((x.shape[0], 1, 1, x.shape[1]),
+                                 jnp.float32)
+            if history_bias is None:
+                history_bias = jnp.zeros(
+                    (x.shape[0], 1, 1, history.shape[1]), jnp.float32)
+            bias = jnp.concatenate(
+                [jnp.broadcast_to(
+                    history_bias, bias.shape[:-1] + (history.shape[1],)),
+                 bias], axis=-1)
         a = MultiHeadAttention(
             self.cfg.num_attention_heads, dtype=self.dtype,
             dropout_rate=self.cfg.attention_probs_dropout_prob,
-            name="attn")(x, bias=bias, deterministic=deterministic)
+            use_pallas=self.cfg.use_pallas,
+            name="attn")(x, kv=kv, bias=bias, deterministic=deterministic)
         x = AttentionOutput(self.cfg.layer_norm_eps, dtype=self.dtype,
                             dropout_rate=self.cfg.hidden_dropout_prob,
                             name="attn_out")(a, x, deterministic)
@@ -181,6 +201,7 @@ class CrossAttentionLayer(nn.Module):
         a = MultiHeadAttention(
             self.cfg.num_attention_heads, dtype=self.dtype,
             dropout_rate=self.cfg.attention_probs_dropout_prob,
+            use_pallas=self.cfg.use_pallas,
             name="attn")(x, kv=kv, bias=bias, deterministic=deterministic)
         x = AttentionOutput(self.cfg.layer_norm_eps, dtype=self.dtype,
                             dropout_rate=self.cfg.hidden_dropout_prob,
@@ -192,16 +213,28 @@ class CrossAttentionLayer(nn.Module):
 
 
 class Encoder(nn.Module):
+    """Self-attention stack. `history_states` (optional, one entry per
+    layer, entries may be None) injects per-layer history KV-concat
+    (`encoder_history_states` in the reference ChunkAlign decoders);
+    `history_mask` (B, Sh) masks the history keys (default: all visible)."""
+
     cfg: EncoderConfig
     num_layers: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, bias=None, deterministic=True):
+    def __call__(self, x, bias=None, deterministic=True,
+                 history_states=None, history_mask=None):
+        from icka_tpu.nn.layers import additive_mask
         n = self.num_layers or self.cfg.num_hidden_layers
+        hbias = (additive_mask(history_mask)
+                 if history_mask is not None else None)
         for i in range(n):
+            hist = (history_states[i]
+                    if history_states is not None else None)
             x = SelfAttentionLayer(self.cfg, dtype=self.dtype,
-                                   name=f"layer_{i}")(x, bias, deterministic)
+                                   name=f"layer_{i}")(
+                x, bias, deterministic, history=hist, history_bias=hbias)
         return x
 
 
