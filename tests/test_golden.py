@@ -49,6 +49,45 @@ def _compute():
     return out
 
 
+def _compute_cli_f1(tmp_root):
+    """Reported-metric path regression (VERDICT r01 #9): train-on-synthetic
+    → checkpoint → `cli.evaluate` round-trip. Pins the CLI-reported F1 so
+    the metric PIPELINE (loader tail handling, filtering, chunk-F1), not
+    just the library internals, is regression-guarded."""
+    from icka_tpu.cli import evaluate as eval_cli
+    from icka_tpu.cli import train as train_cli
+
+    ds = os.path.join(tmp_root, "ds")
+    out = os.path.join(tmp_root, "out")
+    train_cli.main([
+        "--synthetic", ds, "--tiny", "--output_dir", out,
+        "--train_batch_size", "4", "--gradient_accumulation_steps", "1",
+        "--eval_batch_size", "3", "--learning_rate", "8e-3",
+        "--epochs_override", "8", "--compute_dtype", "float32",
+        "--data_axis", "1", "--seed", "7",
+    ])
+    result = eval_cli.main([
+        "--synthetic", ds, "--tiny", "--output_dir", out,
+        "--split", "valid", "--eval_batch_size", "3",
+    ])
+    return {"cli_valid_f1": round(result.f1, 6),
+            "cli_valid_precision": round(result.precision, 6),
+            "cli_valid_recall": round(result.recall, 6)}
+
+
+def test_cli_roundtrip_f1_golden(tmp_path):
+    got = _compute_cli_f1(str(tmp_path))
+    with open(GOLDEN_PATH) as f:
+        want = json.load(f)
+    if "cli_valid_f1" not in want:
+        want.update(got)
+        with open(GOLDEN_PATH, "w") as f:
+            json.dump(want, f, indent=2)
+        return  # first run records
+    for k, v in got.items():
+        np.testing.assert_allclose(v, want[k], atol=1e-6, err_msg=k)
+
+
 def test_golden_values():
     if not os.path.exists(GOLDEN_PATH):
         with open(GOLDEN_PATH, "w") as f:
