@@ -22,6 +22,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -64,7 +65,8 @@ def _enable_compile_cache():
         pass
 
 
-def bench_icka(quick: bool, batch_sizes, iters: int, pallas: bool = False):
+def bench_icka(quick: bool, batch_sizes, iters: int, pallas: bool = False,
+               int8: bool = False):
     import dataclasses
 
     import numpy as np
@@ -89,12 +91,14 @@ def bench_icka(quick: bool, batch_sizes, iters: int, pallas: bool = False):
         cfg = ICKAConfig()           # roberta-large dual encoders
         resnet_layers = (3, 8, 36, 3)
         image_size = 256
-    if pallas:
+    if pallas or int8:
+        rep = dict(use_pallas=pallas)
+        if int8:
+            rep["quant"] = "int8"
         cfg = dataclasses.replace(
             cfg,
-            embedding=dataclasses.replace(cfg.embedding, use_pallas=True),
-            last_encoder=dataclasses.replace(cfg.last_encoder,
-                                             use_pallas=True))
+            embedding=dataclasses.replace(cfg.embedding, **rep),
+            last_encoder=dataclasses.replace(cfg.last_encoder, **rep))
 
     dtype = jnp.bfloat16
     model = ICKAModel(cfg, dtype=dtype)
@@ -114,9 +118,8 @@ def bench_icka(quick: bool, batch_sizes, iters: int, pallas: bool = False):
 
     def infer(params, bvars, batch, prev):
         # `prev` (the previous step's decode output) feeds a runtime-data-
-        # dependent zero into the inputs: this serializes chained steps on
-        # the device even through an RPC tunnel whose block_until_ready /
-        # dispatch semantics make per-call host timing unreliable.
+        # dependent zero into the inputs, serializing chained steps on the
+        # device.
         dep = jnp.where(jnp.sum(prev) > jnp.int32(2 ** 30), 1.0, 0.0)
         pixels = preprocess_images(batch["images"],
                                    jax.random.PRNGKey(0),
@@ -127,28 +130,34 @@ def bench_icka(quick: bool, batch_sizes, iters: int, pallas: bool = False):
         mb["visual_grid"] = att
         return model.apply(params, mb, mask_positions, offset, mode="test")
 
-    infer = jax.jit(infer)
+    # ALL chained iterations run inside ONE jitted fori_loop: per-call
+    # dispatch through the axon RPC tunnel costs tens of ms (round-2
+    # stage profiling measured python-chained stage sums at 10x the full
+    # pipeline), so only an in-program loop times the chip rather than
+    # the tunnel. A production host dispatches asynchronously at ~100 us
+    # and overlaps, so device time per step IS the serving number.
+    @partial(jax.jit, static_argnames=("n",))
+    def infer_loop(params, bvars, batch, prev, n):
+        return jax.lax.fori_loop(
+            0, n, lambda i, p: infer(params, bvars, batch, p), prev)
 
     best = 0.0
     best_bs = 0
     for B in batch_sizes:
         batch = _batch(cfg, B, offset, rng, image_size)
-        # pre-place inputs on device: a serving pipeline keeps batches
-        # prefetched in HBM; shipping 10+MB of pixels through the device
-        # tunnel per step would time the network, not the chip
         batch = jax.device_put(batch)
         prev = jnp.zeros((B, cfg.max_seq_length), jnp.int32)
-        out = infer(params, bvars, batch, prev)
+        out = infer_loop(params, bvars, batch, prev, iters)
         np.asarray(out)  # full warmup incl. host fetch
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = infer(params, bvars, batch, out)
-        np.asarray(out)  # chained: total time == iters serialized steps
-        dt = time.perf_counter() - t0
-        step = dt / iters
+        step = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = infer_loop(params, bvars, batch, out, iters)
+            np.asarray(out)
+            step = min(step, (time.perf_counter() - t0) / iters)
         pairs = B / step
         print(f"# batch={B}: {pairs:.1f} pairs/s "
-              f"({step * 1e3:.1f} ms/step, {iters} chained)",
+              f"({step * 1e3:.1f} ms/step, {iters}-step loop)",
               file=sys.stderr)
         if pairs > best:
             best, best_bs = pairs, B
@@ -199,22 +208,30 @@ def bench_gate_cl(quick: bool, batch_sizes, iters: int):
         dep = jnp.where(jnp.sum(prev) > jnp.int32(2 ** 30), 1.0, 0.0)
         return model.apply(p, ids, seg, mask, imask, vmean + dep, vgrid)
 
-    infer = jax.jit(infer)
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("n",))
+    def infer_loop(p, ids, seg, mask, imask, vmean, vgrid, prev, n):
+        return jax.lax.fori_loop(
+            0, n,
+            lambda i, pr: infer(p, ids, seg, mask, imask, vmean, vgrid, pr),
+            prev)
 
     best, best_bs = 0.0, 0
     for B in batch_sizes:
         a = jax.device_put(make(B))   # keep inputs in HBM (see bench_icka)
         prev = jnp.zeros((B, L), jnp.int32)
-        out = infer(params, *a, prev)
+        out = infer_loop(params, *a, prev, iters)
         np.asarray(out)
-        t0 = _t.perf_counter()
-        for _ in range(iters):
-            out = infer(params, *a, out)
-        np.asarray(out)
-        step = (_t.perf_counter() - t0) / iters
+        step = float("inf")
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            out = infer_loop(params, *a, out, iters)
+            np.asarray(out)
+            step = min(step, (_t.perf_counter() - t0) / iters)
         pairs = B / step
         print(f"# gate_cl batch={B}: {pairs:.1f} pairs/s "
-              f"({step * 1e3:.1f} ms/step, {iters} chained)",
+              f"({step * 1e3:.1f} ms/step, {iters}-step loop)",
               file=sys.stderr)
         if pairs > best:
             best, best_bs = pairs, B
@@ -294,6 +311,8 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--pallas", action="store_true",
                    help="route attention through the fused Pallas kernel")
+    p.add_argument("--int8", action="store_true",
+                   help="W8A8 quantized encoder projections (serving mode)")
     p.add_argument("--skip_extras", action="store_true",
                    help="headline icka number only, no gate_cl/train")
     args = p.parse_args(argv)
@@ -320,8 +339,10 @@ def main(argv=None):
     extra = {}
     if args.model in ("icka", "all"):
         value, best_bs = bench_icka(args.quick, batch_sizes, iters,
-                                    pallas=args.pallas)
+                                    pallas=args.pallas, int8=args.int8)
         metric = "icka_inference_pairs_per_sec_per_chip"
+        if args.int8:
+            metric = "icka_int8_inference_pairs_per_sec_per_chip"
         extra["icka_batch"] = best_bs
         # record the companion numbers in the same artifact (VERDICT r01:
         # "what isn't recorded didn't happen")

@@ -57,6 +57,9 @@ class EncoderConfig:
     # (`icka_tpu.kernels.attention`) instead of the XLA einsum core.
     # Default set by measurement — see DESIGN.md "Attention and kernels".
     use_pallas: bool = False
+    # "int8" = W8A8 serving quantization of the six projection matmuls per
+    # layer (q/k/v/o + ffn wi/wo) — 2x MXU peak on v5e; see nn.layers.Dense
+    quant: str = "none"
 
     @classmethod
     def roberta_large(cls) -> "EncoderConfig":

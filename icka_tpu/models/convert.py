@@ -139,3 +139,30 @@ def crf_params_from_torch(sd: dict, prefix: str = "") -> dict:
         "end_transitions": sd["end_transitions"],
         "transitions": sd["transitions"],
     }
+
+
+def quantize_params_like(target: dict, fp32: dict) -> dict:
+    """Convert a trained fp32 param tree into the W8A8 serving layout.
+
+    `target` is the param tree of a model built with
+    `EncoderConfig(quant="int8")` (its Dense layers declare
+    kernel_q/kernel_scale instead of kernel); `fp32` is the matching tree
+    from the quant="none" model. Wherever `target` expects kernel_q, the
+    fp32 kernel is quantized per-output-channel (abs-max / 127); all other
+    leaves are copied from `fp32` unchanged.
+    """
+    if isinstance(target, dict):
+        out = {}
+        for k, v in target.items():
+            if k == "kernel_q":
+                w = np.asarray(fp32["kernel"], np.float32)
+                scale = np.maximum(np.abs(w).max(axis=0), 1e-8) / 127.0
+                out["kernel_q"] = np.clip(
+                    np.round(w / scale[None, :]), -127, 127).astype(np.int8)
+                out["kernel_scale"] = scale.astype(np.float32)
+            elif k == "kernel_scale":
+                continue  # produced together with kernel_q
+            else:
+                out[k] = quantize_params_like(v, fp32[k])
+        return out
+    return fp32

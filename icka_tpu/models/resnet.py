@@ -28,8 +28,35 @@ import numpy as np
 from flax import linen as nn
 
 
+class _ConvKernel(nn.Module):
+    """Bare HWIO conv kernel param — keeps the `conv/kernel` param path of
+    the previous nn.Conv-based layout so checkpoints/converters are
+    unchanged."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out",
+                                             "truncated_normal"),
+            self.shape, jnp.float32)
+
+
 class ConvBN(nn.Module):
-    """conv (no bias) + frozen-statistics batchnorm."""
+    """conv (no bias) + frozen-statistics batchnorm, BN FOLDED into the
+    conv weights.
+
+    BN here always runs in inference mode with imported running stats (the
+    reference evaluates the CNN under no_grad, `My_cross_attention.py
+    :804-805`), so `BN(conv(x, W)) == conv(x, W·inv) + (β − μ·inv)` exactly
+    — folding removes the post-conv fp32 normalize that forced every
+    activation tensor through HBM at fp32 between convs (measured: the
+    unfolded ResNet-152 ran at 8.6% MXU, 86.6 ms/step @ batch 64 on v5e).
+    Activations now stay in the compute dtype end to end; the O(weights)
+    fold is loop-invariant and tiny next to the activation traffic saved.
+    """
 
     features: int
     kernel: int
@@ -38,13 +65,12 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        pad = self.kernel // 2
         from icka_tpu.nn.layers import matmul_precision
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((pad, pad), (pad, pad)), use_bias=False,
-                    dtype=self.dtype, precision=matmul_precision(self.dtype),
-                    name="conv")(x)
+        pad = self.kernel // 2
+        in_ch = x.shape[-1]
+        kernel = _ConvKernel(
+            (self.kernel, self.kernel, in_ch, self.features),
+            name="conv")()
         scale = self.param("scale", nn.initializers.ones,
                            (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
@@ -53,8 +79,17 @@ class ConvBN(nn.Module):
                              lambda: jnp.zeros(self.features, jnp.float32))
         var = self.variable("batch_stats", "var",
                             lambda: jnp.ones(self.features, jnp.float32))
-        inv = scale * jax.lax.rsqrt(var.value + 1e-5)
-        return (x.astype(jnp.float32) - mean.value) * inv + bias
+        inv = scale * jax.lax.rsqrt(var.value + 1e-5)          # (O,) fp32
+        folded = (kernel * inv[None, None, None, :]).astype(self.dtype)
+        fused_bias = (bias - mean.value * inv).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), folded,
+            window_strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=matmul_precision(self.dtype),
+            preferred_element_type=self.dtype)
+        return y + fused_bias
 
 
 class Bottleneck(nn.Module):

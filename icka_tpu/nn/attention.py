@@ -83,16 +83,17 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dropout_rate: float = 0.1
     use_pallas: bool = False
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, kv=None, bias=None, deterministic=True):
         kv = x if kv is None else kv
         d = x.shape[-1]
-        q = Dense(d, dtype=self.dtype, name="query",
+        q = Dense(d, dtype=self.dtype, name="query", quant=self.quant,
                   kernel_axes=("embed", "heads"))(x)
-        k = Dense(d, dtype=self.dtype, name="key",
+        k = Dense(d, dtype=self.dtype, name="key", quant=self.quant,
                   kernel_axes=("embed", "heads"))(kv)
-        v = Dense(d, dtype=self.dtype, name="value",
+        v = Dense(d, dtype=self.dtype, name="value", quant=self.quant,
                   kernel_axes=("embed", "heads"))(kv)
         if self.use_pallas and (deterministic or self.dropout_rate == 0.0):
             import jax as _jax
@@ -120,11 +121,12 @@ class AttentionOutput(nn.Module):
     eps: float
     dtype: jnp.dtype = jnp.float32
     dropout_rate: float = 0.1
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, residual, deterministic=True):
         x = Dense(residual.shape[-1], dtype=self.dtype, name="dense",
-                  kernel_axes=("heads", "embed"))(x)
+                  quant=self.quant, kernel_axes=("heads", "embed"))(x)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return LayerNorm(eps=self.eps, dtype=self.dtype,
                          name="norm")(x + residual)
@@ -139,14 +141,15 @@ class FeedForward(nn.Module):
     act: str = "gelu"
     dtype: jnp.dtype = jnp.float32
     dropout_rate: float = 0.1
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         h = Dense(self.intermediate, dtype=self.dtype, name="wi",
-                  kernel_axes=("embed", "mlp"))(x)
+                  quant=self.quant, kernel_axes=("embed", "mlp"))(x)
         h = ACT2FN[self.act](h)
         h = Dense(x.shape[-1], dtype=self.dtype, name="wo",
-                  kernel_axes=("mlp", "embed"))(h)
+                  quant=self.quant, kernel_axes=("mlp", "embed"))(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         return LayerNorm(eps=self.eps, dtype=self.dtype, name="norm")(h + x)
 
@@ -179,14 +182,16 @@ class SelfAttentionLayer(nn.Module):
         a = MultiHeadAttention(
             self.cfg.num_attention_heads, dtype=self.dtype,
             dropout_rate=self.cfg.attention_probs_dropout_prob,
-            use_pallas=self.cfg.use_pallas,
+            use_pallas=self.cfg.use_pallas, quant=self.cfg.quant,
             name="attn")(x, kv=kv, bias=bias, deterministic=deterministic)
         x = AttentionOutput(self.cfg.layer_norm_eps, dtype=self.dtype,
                             dropout_rate=self.cfg.hidden_dropout_prob,
+                            quant=self.cfg.quant,
                             name="attn_out")(a, x, deterministic)
         return FeedForward(self.cfg.intermediate_size, self.cfg.layer_norm_eps,
                            dtype=self.dtype,
                            dropout_rate=self.cfg.hidden_dropout_prob,
+                           quant=self.cfg.quant,
                            name="ffn")(x, deterministic)
 
 
@@ -201,14 +206,16 @@ class CrossAttentionLayer(nn.Module):
         a = MultiHeadAttention(
             self.cfg.num_attention_heads, dtype=self.dtype,
             dropout_rate=self.cfg.attention_probs_dropout_prob,
-            use_pallas=self.cfg.use_pallas,
+            use_pallas=self.cfg.use_pallas, quant=self.cfg.quant,
             name="attn")(x, kv=kv, bias=bias, deterministic=deterministic)
         x = AttentionOutput(self.cfg.layer_norm_eps, dtype=self.dtype,
                             dropout_rate=self.cfg.hidden_dropout_prob,
+                            quant=self.cfg.quant,
                             name="attn_out")(a, x, deterministic)
         return FeedForward(self.cfg.intermediate_size, self.cfg.layer_norm_eps,
                            dtype=self.dtype,
                            dropout_rate=self.cfg.hidden_dropout_prob,
+                           quant=self.cfg.quant,
                            name="ffn")(x, deterministic)
 
 

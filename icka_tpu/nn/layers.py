@@ -101,25 +101,55 @@ class Dense(nn.Module):
 
     `kernel_axes` names the (in, out) logical axes; the partitioner in
     `icka_tpu.parallel` maps logical names to mesh axes.
+
+    `quant="int8"` switches to a W8A8 serving layout: the kernel is stored
+    as int8 with a per-output-channel fp32 scale (see
+    `icka_tpu.models.convert.quantize_params_like` to convert a trained
+    fp32 tree), activations are dynamically quantized per row
+    (abs-max/127), and the matmul runs int8×int8→int32 on the MXU — 2× the
+    bf16 peak on v5e. LayerNorm/softmax/bias stay high precision.
     """
 
     features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     kernel_axes: tuple = (None, None)
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         in_dim = x.shape[-1]
-        kernel = self.param(
-            "kernel",
-            nn.initializers.normal(stddev=0.02),
-            (in_dim, self.features),
-            jnp.float32,
-        )
-        y = jnp.matmul(x.astype(self.dtype), kernel.astype(self.dtype),
-                       preferred_element_type=self.dtype,
-                       precision=matmul_precision(self.dtype))
+        if self.quant == "int8":
+            kernel_q = self.param(
+                "kernel_q",
+                lambda key, shape, dtype: jax.random.randint(
+                    key, shape, -127, 128, jnp.int32).astype(jnp.int8),
+                (in_dim, self.features), jnp.int8)
+            kernel_scale = self.param(
+                "kernel_scale",
+                nn.initializers.constant(0.02 / 127.0),
+                (self.features,), jnp.float32)
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                           keepdims=True)
+            a_scale = jnp.maximum(amax, 1e-8) / 127.0
+            x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                           -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                x_q, kernel_q,
+                (((x_q.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = (acc.astype(jnp.float32) * a_scale
+                 * kernel_scale).astype(self.dtype)
+        else:
+            kernel = self.param(
+                "kernel",
+                nn.initializers.normal(stddev=0.02),
+                (in_dim, self.features),
+                jnp.float32,
+            )
+            y = jnp.matmul(x.astype(self.dtype), kernel.astype(self.dtype),
+                           preferred_element_type=self.dtype,
+                           precision=matmul_precision(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)

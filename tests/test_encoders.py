@@ -168,3 +168,38 @@ def test_encoder_variable_batch_jit(rng):
     f = jax.jit(lambda p, i, m: model.apply(p, i, m)[0])
     out = f(params, ids, mask)
     assert out.shape == (*ids.shape, cfg.hidden_size)
+
+
+def test_int8_encoder_close_to_fp32(rng):
+    """W8A8 serving quantization: the int8 encoder tracks the fp32 encoder
+    closely (cosine > 0.995 per token) — the accuracy contract behind the
+    2x-MXU inference mode."""
+    import dataclasses
+
+    from icka_tpu.models.convert import quantize_params_like
+
+    cfg = EncoderConfig(**TINY, hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0,
+                        layer_norm_eps=1e-5, position_offset=2,
+                        pad_token_id=1)
+    qcfg = dataclasses.replace(cfg, quant="int8")
+    ids, mask = _inputs(rng, pad=1)
+
+    model = TextEncoder(cfg, with_pooler=False)
+    qmodel = TextEncoder(qcfg, with_pooler=False)
+    params = model.init(jax.random.PRNGKey(3), ids, mask)
+    qinit = qmodel.init(jax.random.PRNGKey(3), ids, mask)
+    qparams = {"params": quantize_params_like(qinit["params"],
+                                              params["params"])}
+
+    want, _ = model.apply(params, ids, mask)
+    got, _ = qmodel.apply(qparams, ids, mask)
+    want = np.asarray(want, np.float64)
+    got = np.asarray(got, np.float64)
+    cos = (want * got).sum(-1) / (
+        np.linalg.norm(want, axis=-1) * np.linalg.norm(got, axis=-1))
+    assert cos.min() > 0.995, cos.min()
+    # and the quantized tree really is int8 where it matters
+    leaves = jax.tree_util.tree_leaves_with_path(qparams)
+    n_int8 = sum(1 for p, l in leaves if l.dtype == np.int8)
+    assert n_int8 == cfg.num_hidden_layers * 6

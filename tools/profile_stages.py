@@ -121,7 +121,7 @@ def main():
             px = preprocess_images(imgs, jax.random.PRNGKey(0),
                                    crop_size=224, train=False)
             _, _, att2 = bb.apply(bv, (px + dep(att)).astype(dtype))
-            return att2
+            return att2.astype(jnp.float32)
 
         t = loop_time(step, jnp.zeros((B, 7, 7, 2048), jnp.float32),
                       args.inner)
