@@ -82,13 +82,33 @@ class ConvBN(nn.Module):
         inv = scale * jax.lax.rsqrt(var.value + 1e-5)          # (O,) fp32
         folded = (kernel * inv[None, None, None, :]).astype(self.dtype)
         fused_bias = (bias - mean.value * inv).astype(self.dtype)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), folded,
-            window_strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=matmul_precision(self.dtype),
-            preferred_element_type=self.dtype)
+        # convs are computed as im2col + matmul, NOT conv_general_dilated:
+        # XLA's conv lowering on this TPU backend measures 5-6 TFLOP/s vs
+        # 127 TFLOP/s for bf16 matmuls (tools/ microbenchmarks), so the
+        # MXU path is dot_general. k=1 is a plain matmul; k>1 gathers the
+        # k² shifted views (pure data movement, HBM-cheap at bf16) and
+        # contracts (k²·Cin → Cout) in one dot.
+        xd = x.astype(self.dtype)
+        k, s = self.kernel, self.stride
+        precision = matmul_precision(self.dtype)
+        if k == 1:
+            y = jax.lax.dot_general(
+                xd[:, ::s, ::s, :], folded.reshape(in_ch, self.features),
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=self.dtype, precision=precision)
+        else:
+            xp = jnp.pad(xd, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+            H = x.shape[1]
+            Ho = (H + 2 * pad - k) // s + 1
+            views = [
+                xp[:, i:i + (Ho - 1) * s + 1:s,
+                   j:j + (Ho - 1) * s + 1:s, :]
+                for i in range(k) for j in range(k)]
+            patches = jnp.concatenate(views, axis=-1)  # (B,Ho,Wo,k²·Cin)
+            y = jax.lax.dot_general(
+                patches, folded.reshape(k * k * in_ch, self.features),
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=self.dtype, precision=precision)
         return y + fused_bias
 
 

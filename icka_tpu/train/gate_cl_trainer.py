@@ -102,13 +102,21 @@ class GateCLTrainer:
             (grads, loss_sum), _ = jax.lax.scan(
                 micro, (zeros, 0.0), (batch, rngs))
             grads = jax.tree.map(lambda g: g / accum, grads)
+            # true step-skip on non-finite loss/grads (see ICKATrainer)
             finite = jnp.isfinite(loss_sum)
             for leaf in jax.tree.leaves(grads):
                 finite = jnp.logical_and(
                     finite, jnp.all(jnp.isfinite(leaf)))
             grads = jax.tree.map(
                 lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
-            return state.apply_gradients(grads=grads), loss_sum / accum
+            new_state = state.apply_gradients(grads=grads)
+            keep = lambda n, o: jnp.where(finite, n, o)  # noqa: E731
+            new_state = new_state.replace(
+                step=keep(new_state.step, state.step),
+                params=jax.tree.map(keep, new_state.params, state.params),
+                opt_state=jax.tree.map(keep, new_state.opt_state,
+                                       state.opt_state))
+            return new_state, loss_sum / accum
 
         return step
 

@@ -172,9 +172,10 @@ class ICKATrainer:
                 micro, (zeros, 0.0), (batch, rngs))
             grads = jax.tree.map(lambda g: g / accum, grads)
             # failure detection (SURVEY §5: the reference has none): a
-            # non-finite loss/grad step is skipped instead of poisoning
-            # the parameters — the optimizer state still advances so the
-            # schedule stays on track.
+            # non-finite loss/grad step is a TRUE step-skip — params,
+            # optimizer moments, step count and therefore the LR schedule
+            # all stay put (torch semantics), so loss curves reproduce
+            # across NaN-event histories.
             finite = jnp.isfinite(loss_sum)
             for leaf in jax.tree.leaves(grads):
                 finite = jnp.logical_and(
@@ -182,6 +183,12 @@ class ICKATrainer:
             grads = jax.tree.map(
                 lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
             new_state = state.apply_gradients(grads=grads)
+            keep = lambda n, o: jnp.where(finite, n, o)  # noqa: E731
+            new_state = new_state.replace(
+                step=keep(new_state.step, state.step),
+                params=jax.tree.map(keep, new_state.params, state.params),
+                opt_state=jax.tree.map(keep, new_state.opt_state,
+                                       state.opt_state))
             return new_state, loss_sum / accum
 
         return step

@@ -154,3 +154,35 @@ def test_eval_tail_padding_does_not_skew_metrics(synth):
     assert ragged.precision == exact.precision
     assert ragged.recall == exact.recall
     assert ragged.acc == exact.acc
+
+def test_nonfinite_step_is_true_skip(synth):
+    """A poisoned batch (inf CLIP features -> NaN loss) must leave params,
+    optimizer moments AND the step count untouched (torch step-skip
+    semantics), so loss curves reproduce across NaN-event histories."""
+    cfg, tcfg, feats, trainer, loader = _setup(synth)
+    batch = next(iter(loader))
+    sample = {k: v[0] for k, v in batch.items()
+              if k not in ("images", "label_ids")}
+    sample["visual_mean"] = np.zeros((4, cfg.region_dim), np.float32)
+    sample["visual_grid"] = np.zeros((4, 7, 7, cfg.region_dim), np.float32)
+    state = trainer.init_state(jax.random.PRNGKey(0), sample, total_steps=8)
+    step = trainer.make_train_step()
+
+    good = {k: v.copy() for k, v in batch.items()}
+    state1, loss1 = step(state, good, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss1))
+    step1 = int(state1.step)
+    # snapshot before the poisoned step: the jitted step donates its input
+    # state, so state1's buffers are gone after the next call
+    params1 = jax.tree.map(np.asarray, state1.params)
+    opt1 = jax.tree.map(np.asarray, state1.opt_state)
+
+    bad = {k: v.copy() for k, v in batch.items()}
+    bad["clip_features"] = np.full_like(bad["clip_features"], np.inf)
+    state2, loss2 = step(state1, bad, jax.random.PRNGKey(2))
+    assert not np.isfinite(float(loss2))
+    assert int(state2.step) == step1
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), params1, state2.params)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), opt1, state2.opt_state)

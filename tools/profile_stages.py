@@ -42,19 +42,25 @@ def dep(prev):
 
 def loop_time(step_fn, init_carry, inner: int, outer: int = 3):
     """step_fn: carry -> carry. Returns seconds per step, measured as one
-    jitted fori_loop(inner) per dispatch, best of `outer` dispatches."""
+    jitted fori_loop(inner) per dispatch, best of `outer` dispatches.
+
+    Only a SCALAR reduction of the carry is fetched: pulling the full
+    tensor through the RPC tunnel moves at ~40 MB/s and dwarfs device
+    time (this bug made the round-2 first-pass stage numbers garbage)."""
 
     @jax.jit
     def run(carry):
-        return jax.lax.fori_loop(0, inner, lambda i, c: step_fn(c), carry)
+        out = jax.lax.fori_loop(0, inner, lambda i, c: step_fn(c), carry)
+        leaf = jax.tree.leaves(out)[0]
+        return out, jnp.sum(leaf.astype(jnp.float32))
 
-    carry = run(init_carry)
-    np.asarray(jax.tree.leaves(carry)[0])       # warmup incl. compile
+    carry, s = run(init_carry)
+    float(s)                                    # warmup incl. compile
     best = float("inf")
     for _ in range(outer):
         t0 = time.perf_counter()
-        out = run(carry)
-        np.asarray(jax.tree.leaves(out)[0])
+        carry, s = run(carry)
+        float(s)
         best = min(best, (time.perf_counter() - t0) / inner)
     return best
 
