@@ -62,6 +62,7 @@ class ConvBN(nn.Module):
     kernel: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
@@ -80,22 +81,40 @@ class ConvBN(nn.Module):
         var = self.variable("batch_stats", "var",
                             lambda: jnp.ones(self.features, jnp.float32))
         inv = scale * jax.lax.rsqrt(var.value + 1e-5)          # (O,) fp32
-        folded = (kernel * inv[None, None, None, :]).astype(self.dtype)
-        fused_bias = (bias - mean.value * inv).astype(self.dtype)
+        folded_f32 = kernel * inv[None, None, None, :]
+        fused_bias = (bias - mean.value * inv).astype(jnp.float32)
         # convs are computed as im2col + matmul, NOT conv_general_dilated:
         # XLA's conv lowering on this TPU backend measures 5-6 TFLOP/s vs
         # 127 TFLOP/s for bf16 matmuls (tools/ microbenchmarks), so the
         # MXU path is dot_general. k=1 is a plain matmul; k>1 gathers the
         # k² shifted views (pure data movement, HBM-cheap at bf16) and
-        # contracts (k²·Cin → Cout) in one dot.
-        xd = x.astype(self.dtype)
+        # contracts (k²·Cin → Cout) in one dot. quant="int8" additionally
+        # runs the contraction int8×int8→int32 (2× MXU peak, and halves
+        # the im2col patch traffic): per-tensor dynamic activation scale,
+        # per-output-channel weight scale, both folded into the epilogue.
+        int8_mode = self.quant == "int8"
         k, s = self.kernel, self.stride
         precision = matmul_precision(self.dtype)
+        if int8_mode:
+            w2 = folded_f32.reshape(-1, self.features)
+            w_s = jnp.maximum(jnp.max(jnp.abs(w2), axis=0), 1e-8) / 127.0
+            wq = jnp.clip(jnp.round(w2 / w_s[None, :]), -127, 127) \
+                .astype(jnp.int8)
+            a_s = jnp.maximum(
+                jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-8) / 127.0
+            xd = jnp.clip(jnp.round(x.astype(jnp.float32) / a_s),
+                          -127, 127).astype(jnp.int8)
+            out_dtype, prec = jnp.int32, None
+            wmat = wq
+        else:
+            xd = x.astype(self.dtype)
+            wmat = folded_f32.astype(self.dtype).reshape(-1, self.features)
+            out_dtype, prec = self.dtype, precision
         if k == 1:
             y = jax.lax.dot_general(
-                xd[:, ::s, ::s, :], folded.reshape(in_ch, self.features),
+                xd[:, ::s, ::s, :], wmat,
                 (((3,), (0,)), ((), ())),
-                preferred_element_type=self.dtype, precision=precision)
+                preferred_element_type=out_dtype, precision=prec)
         else:
             xp = jnp.pad(xd, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
             H = x.shape[1]
@@ -106,10 +125,12 @@ class ConvBN(nn.Module):
                 for i in range(k) for j in range(k)]
             patches = jnp.concatenate(views, axis=-1)  # (B,Ho,Wo,k²·Cin)
             y = jax.lax.dot_general(
-                patches, folded.reshape(k * k * in_ch, self.features),
+                patches, wmat,
                 (((3,), (0,)), ((), ())),
-                preferred_element_type=self.dtype, precision=precision)
-        return y + fused_bias
+                preferred_element_type=out_dtype, precision=prec)
+        if int8_mode:
+            y = (y.astype(jnp.float32) * (a_s * w_s)).astype(self.dtype)
+        return y + fused_bias.astype(self.dtype)
 
 
 class Bottleneck(nn.Module):
@@ -120,17 +141,19 @@ class Bottleneck(nn.Module):
     stride: int = 1
     project: bool = False
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         out = nn.relu(ConvBN(self.width, 1, dtype=self.dtype,
-                             name="conv1")(x))
+                             quant=self.quant, name="conv1")(x))
         out = nn.relu(ConvBN(self.width, 3, self.stride, dtype=self.dtype,
-                             name="conv2")(out))
-        out = ConvBN(self.width * 4, 1, dtype=self.dtype, name="conv3")(out)
+                             quant=self.quant, name="conv2")(out))
+        out = ConvBN(self.width * 4, 1, dtype=self.dtype,
+                     quant=self.quant, name="conv3")(out)
         if self.project:
             x = ConvBN(self.width * 4, 1, self.stride, dtype=self.dtype,
-                       name="downsample")(x)
+                       quant=self.quant, name="downsample")(x)
         return nn.relu(out + x)
 
 
@@ -139,17 +162,19 @@ class ResNet(nn.Module):
 
     layers: Sequence[int] = (3, 8, 36, 3)
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(ConvBN(64, 7, 2, dtype=self.dtype, name="stem")(x))
+        x = nn.relu(ConvBN(64, 7, 2, dtype=self.dtype, quant=self.quant,
+                           name="stem")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for stage, blocks in enumerate(self.layers):
             width = 64 * (2 ** stage)
             for b in range(blocks):
                 stride = 2 if (b == 0 and stage > 0) else 1
                 x = Bottleneck(width, stride, project=(b == 0),
-                               dtype=self.dtype,
+                               dtype=self.dtype, quant=self.quant,
                                name=f"layer{stage + 1}_{b}")(x)
         return x  # (B, 7, 7, 2048) for 224×224 input
 
@@ -161,10 +186,12 @@ class VisualBackbone(nn.Module):
     att_size: int = 7
     fine_tune: bool = False
     dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, images):
-        feat = ResNet(self.layers, dtype=self.dtype, name="resnet")(images)
+        feat = ResNet(self.layers, dtype=self.dtype, quant=self.quant,
+                      name="resnet")(images)
         if not self.fine_tune:
             feat = jax.lax.stop_gradient(feat)
         B, H, W, C = feat.shape

@@ -127,3 +127,28 @@ def test_resnet152_shapes():
     assert pooled.shape == (1, 2048)
     assert fc.shape == (1, 2048)
     assert att.shape == (1, 7, 7, 2048)
+
+
+def test_int8_resnet_close_to_fp32():
+    """int8 conv path tracks fp32 features closely (cosine > 0.99 per
+    region) — the accuracy contract behind the 2x-MXU serving mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from icka_tpu.models.resnet import VisualBackbone
+
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    fp = VisualBackbone(layers=(1, 1, 1, 1))
+    q = VisualBackbone(layers=(1, 1, 1, 1), quant="int8")
+    v = fp.init(jax.random.PRNGKey(0), jnp.asarray(imgs))
+    # identical weights: the int8 model quantizes on the fly from the same
+    # fp32 params, so the param trees coincide
+    _, mean_fp, att_fp = fp.apply(v, jnp.asarray(imgs))
+    _, mean_q, att_q = q.apply(v, jnp.asarray(imgs))
+    a = np.asarray(att_fp, np.float64).reshape(2, -1, 2048)
+    b = np.asarray(att_q, np.float64).reshape(2, -1, 2048)
+    cos = (a * b).sum(-1) / np.maximum(
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-9)
+    assert cos.min() > 0.99, cos.min()

@@ -40,26 +40,32 @@ def dep(prev):
     return jnp.where(jnp.sum(prev.astype(jnp.float32)) > 1e30, 1.0, 0.0)
 
 
-def loop_time(step_fn, init_carry, inner: int, outer: int = 3):
-    """step_fn: carry -> carry. Returns seconds per step, measured as one
-    jitted fori_loop(inner) per dispatch, best of `outer` dispatches.
+def loop_time(step_fn, init_carry, inner: int, outer: int = 3, args=()):
+    """step_fn: (carry, *args) -> carry. Returns seconds per step, measured
+    as one jitted fori_loop(inner) per dispatch, best of `outer` dispatches.
 
-    Only a SCALAR reduction of the carry is fetched: pulling the full
-    tensor through the RPC tunnel moves at ~40 MB/s and dwarfs device
-    time (this bug made the round-2 first-pass stage numbers garbage)."""
+    Two tunnel traps this encodes:
+      - only a SCALAR reduction of the carry is fetched — pulling the full
+        tensor through the RPC tunnel moves at ~40 MB/s and dwarfs device
+        time;
+      - params/weights MUST be passed via `args`, never closed over:
+        jit embeds closed-over arrays as constants in the serialized
+        program, and a big-encoder compile request then exceeds the remote
+        compiler's body limit (HTTP 413)."""
 
     @jax.jit
-    def run(carry):
-        out = jax.lax.fori_loop(0, inner, lambda i, c: step_fn(c), carry)
+    def run(carry, *a):
+        out = jax.lax.fori_loop(
+            0, inner, lambda i, c: step_fn(c, *a), carry)
         leaf = jax.tree.leaves(out)[0]
         return out, jnp.sum(leaf.astype(jnp.float32))
 
-    carry, s = run(init_carry)
+    carry, s = run(init_carry, *args)
     float(s)                                    # warmup incl. compile
     best = float("inf")
     for _ in range(outer):
         t0 = time.perf_counter()
-        carry, s = run(carry)
+        carry, s = run(carry, *args)
         float(s)
         best = min(best, (time.perf_counter() - t0) / inner)
     return best
@@ -71,6 +77,11 @@ def main():
     p.add_argument("--inner", type=int, default=10)
     p.add_argument("--stages", default="all",
                    help="comma list: resnet,embed,last,fusion,lstm,crf")
+    p.add_argument("--enc_layers", type=int, default=24,
+                   help="encoder depth for embed/last stages — the remote "
+                        "compile service dies on 24-layer fori_loop "
+                        "programs, so measure a slice and scale by "
+                        "24/enc_layers (per-layer cost is uniform)")
     args = p.parse_args()
     _enable_cache()
 
@@ -82,7 +93,11 @@ def main():
     from icka_tpu.nn.crf import crf_decode
     from icka_tpu.nn.lstm import BiLSTM
 
+    import dataclasses
     cfg = ICKAConfig()
+    enc_cfg = dataclasses.replace(cfg.embedding,
+                                  num_hidden_layers=args.enc_layers)
+    enc_scale = cfg.embedding.num_hidden_layers / args.enc_layers
     B = args.batch
     L = cfg.max_seq_length              # 128
     OFFSET = 14
@@ -123,32 +138,33 @@ def main():
         imgs = jax.device_put(rng.integers(0, 255, (B, 256, 256, 3))
                               .astype(np.uint8))
 
-        def step(att):
+        def step(att, bv, imgs):
             px = preprocess_images(imgs, jax.random.PRNGKey(0),
                                    crop_size=224, train=False)
             _, _, att2 = bb.apply(bv, (px + dep(att)).astype(dtype))
             return att2.astype(jnp.float32)
 
         t = loop_time(step, jnp.zeros((B, 7, 7, 2048), jnp.float32),
-                      args.inner)
+                      args.inner, args=(bv, imgs))
         report("resnet", t, FL_RESNET)
 
     if "embed" in want:
-        te = TextEncoder(cfg.embedding, with_pooler=False, dtype=dtype)
+        te = TextEncoder(enc_cfg, with_pooler=False, dtype=dtype)
         ids = jax.device_put(rng.integers(2, 50000, (B, L)).astype(np.int32))
         mask = jnp.ones((B, L), jnp.int32)
         tv = te.init(key, ids, mask, mask * 0)
 
-        def step(seq):
+        def step(seq, tv, ids):
             out, _ = te.apply(tv, ids + dep(seq).astype(jnp.int32),
                               mask, mask * 0)
             return out
 
-        t = loop_time(step, jnp.zeros((B, L, HID), dtype), args.inner)
-        report("embed", t, FL_EMBED)
+        t = loop_time(step, jnp.zeros((B, L, HID), dtype), args.inner,
+                      args=(tv, ids))
+        report("embed", t * enc_scale, FL_EMBED)
 
     if "last" in want:
-        pe = PromptSpliceEncoder(cfg.last_encoder, dtype=dtype)
+        pe = PromptSpliceEncoder(enc_cfg, dtype=dtype)
         ids = jax.device_put(rng.integers(2, 50000, (B, LP))
                              .astype(np.int32))
         mask = jnp.ones((B, LP), jnp.int32)
@@ -158,14 +174,14 @@ def main():
         pmask = jnp.ones((B, 10), jnp.int32)
         pv = pe.init(key, ids, mask, segs, prefix, pmask, (3, 11))
 
-        def step(out):
+        def step(out, pv, ids, prefix):
             o, _ = pe.apply(pv, ids, mask, segs,
                             prefix + dep(out).astype(dtype), pmask, (3, 11))
             return o
 
         t = loop_time(step, jnp.zeros((B, LP - 2 + 10, HID), dtype),
-                      args.inner)
-        report("last", t, FL_LAST)
+                      args.inner, args=(pv, ids, prefix))
+        report("last", t * enc_scale, FL_LAST)
 
     if "fusion" in want:
         ce = CrossEncoder(cfg.embedding, cfg.layer_num1, dtype=dtype)
@@ -173,10 +189,10 @@ def main():
         kv = jnp.asarray(rng.standard_normal((B, 49, HID)), dtype)
         cv = ce.init(key, q, kv, None)
 
-        def step(x):
+        def step(x, cv, q, kv):
             return ce.apply(cv, q + dep(x).astype(dtype), kv, None)
 
-        t = loop_time(step, q, args.inner)
+        t = loop_time(step, q, args.inner, args=(cv, q, kv))
         report("fusion5", t, FL_FUSION)
 
     if "lstm" in want:
@@ -184,10 +200,11 @@ def main():
         x = jnp.asarray(rng.standard_normal((B, L, HID)), dtype)
         lv = lstm.init(key, x)
 
-        def step(out):
+        def step(out, lv, x):
             return lstm.apply(lv, x + dep(out).astype(dtype))
 
-        t = loop_time(step, jnp.zeros((B, L, 2 * HID), dtype), args.inner)
+        t = loop_time(step, jnp.zeros((B, L, 2 * HID), dtype), args.inner,
+                      args=(lv, x))
         report("lstm", t, FL_LSTM)
 
     if "crf" in want:
@@ -197,10 +214,11 @@ def main():
         z = jnp.zeros(cfg.num_labels)
         trans = jnp.zeros((cfg.num_labels, cfg.num_labels))
 
-        def step(tags):
+        def step(tags, em):
             return crf_decode(em + dep(tags), mask, z, z, trans)
 
-        t = loop_time(step, jnp.zeros((B, L), jnp.int32), args.inner)
+        t = loop_time(step, jnp.zeros((B, L), jnp.int32), args.inner,
+                      args=(em,))
         report("crf", t, 0.0)
 
     total = FL_EMBED + FL_LAST + FL_RESNET + FL_FUSION + FL_ALIGN + FL_LSTM
