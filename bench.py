@@ -258,6 +258,8 @@ def bench_train(quick: bool, batch: int, iters: int):
 
     from icka_tpu.train.trainer import ICKATrainer
 
+    import dataclasses
+
     if quick:
         enc = EncoderConfig(vocab_size=1024, hidden_size=256,
                             num_hidden_layers=2, num_attention_heads=4,
@@ -269,6 +271,12 @@ def bench_train(quick: bool, batch: int, iters: int):
         image_size = 64
     else:
         cfg = ICKAConfig()
+        # per-layer remat: fwd+bwd of two 24L encoders at batch 32 blows
+        # the 16 GB HBM without it (round-2 OOM)
+        cfg = dataclasses.replace(
+            cfg,
+            embedding=dataclasses.replace(cfg.embedding, remat=True),
+            last_encoder=dataclasses.replace(cfg.last_encoder, remat=True))
         resnet_layers = (3, 8, 36, 3)
         image_size = 256
 
@@ -341,9 +349,12 @@ def main(argv=None):
     elif args.quick:
         batch_sizes = [8]
     else:
-        # best-known batch sizes per model on v5e (r01 sweep: 128 regressed)
-        batch_sizes = [64, 96] if args.model != "gate_cl" else [128, 256]
-    iters = args.iters or (3 if args.quick else 20)
+        # best-known batch sizes per model on v5e (r02 sweep: 96 regressed
+        # vs 64 for icka). Keep ONE size per model: every extra size is a
+        # fresh ~25-min remote compile, and the loop trip count is baked
+        # into the program — defaults here must match the warmed cache.
+        batch_sizes = [64] if args.model != "gate_cl" else [128]
+    iters = args.iters or (3 if args.quick else 10)
 
     extra = {}
     if args.model in ("icka", "all"):
@@ -357,15 +368,20 @@ def main(argv=None):
         # "what isn't recorded didn't happen")
         if not args.skip_extras and not args.quick:
             try:
-                g, gbs = bench_gate_cl(args.quick, [128, 256], iters)
+                g, gbs = bench_gate_cl(args.quick, [128], iters)
                 extra["gate_cl_pairs_per_sec"] = round(g, 2)
                 extra["gate_cl_batch"] = gbs
             except Exception as e:      # pragma: no cover
                 print(f"# gate_cl bench failed: {e}", file=sys.stderr)
             try:
-                t = bench_train(args.quick, 32, max(5, iters // 4))
+                v8, _ = bench_icka(args.quick, [64], iters, int8=True)
+                extra["icka_int8_pairs_per_sec"] = round(v8, 2)
+            except Exception as e:      # pragma: no cover
+                print(f"# int8 bench failed: {e}", file=sys.stderr)
+            try:
+                t = bench_train(args.quick, 16, max(5, iters // 4))
                 extra["train_pairs_per_sec"] = round(t, 2)
-                extra["train_batch"] = 32
+                extra["train_batch"] = 16
             except Exception as e:      # pragma: no cover
                 print(f"# train bench failed: {e}", file=sys.stderr)
     elif args.model == "gate_cl":

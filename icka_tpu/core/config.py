@@ -60,6 +60,11 @@ class EncoderConfig:
     # "int8" = W8A8 serving quantization of the six projection matmuls per
     # layer (q/k/v/o + ffn wi/wo) — 2x MXU peak on v5e; see nn.layers.Dense
     quant: str = "none"
+    # rematerialize each transformer layer in the backward pass
+    # (jax.checkpoint): peak activation memory drops from O(layers ·
+    # seq · intermediates) to O(layers · seq · hidden) for ~1.3x forward
+    # FLOPs — required to fit flagship training batches in 16 GB HBM.
+    remat: bool = False
 
     @classmethod
     def roberta_large(cls) -> "EncoderConfig":

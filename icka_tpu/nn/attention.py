@@ -236,12 +236,19 @@ class Encoder(nn.Module):
         n = self.num_layers or self.cfg.num_hidden_layers
         hbias = (additive_mask(history_mask)
                  if history_mask is not None else None)
+        layer_cls = SelfAttentionLayer
+        if self.cfg.remat:
+            # deterministic is a python bool -> static. nn.remat's
+            # static_argnums count the module itself as arg 0, so
+            # (x=1, bias=2, deterministic=3).
+            layer_cls = nn.remat(SelfAttentionLayer, static_argnums=(3,),
+                                 prevent_cse=False)
         for i in range(n):
             hist = (history_states[i]
                     if history_states is not None else None)
-            x = SelfAttentionLayer(self.cfg, dtype=self.dtype,
-                                   name=f"layer_{i}")(
-                x, bias, deterministic, history=hist, history_bias=hbias)
+            x = layer_cls(self.cfg, dtype=self.dtype,
+                          name=f"layer_{i}")(
+                x, bias, deterministic, hist, hbias)
         return x
 
 

@@ -190,3 +190,56 @@ def test_gate_cl_variants(rng, variant):
     assert np.isfinite(float(loss))
     pred = model.apply(params, ids, seg, mask, img_mask, vmean, vgrid)
     assert pred.shape == (B, L)
+
+
+def test_remat_encoder_loss_identical():
+    """Per-layer remat (EncoderConfig.remat) must not change the math —
+    identical train loss, finite nonzero grads (it only trades backward
+    memory for recompute; required to fit flagship training in HBM)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from icka_tpu.core.config import EncoderConfig, ICKAConfig
+    from icka_tpu.models.icka import ICKAModel
+
+    enc = EncoderConfig(vocab_size=128, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=128)
+    cfg = ICKAConfig(embedding=enc, last_encoder=enc, layer_num1=1,
+                     region_dim=32, clip_dim=16, prompt_hidden=16,
+                     last_hidden=32, max_seq_length=16)
+    rcfg = dataclasses.replace(
+        cfg, embedding=dataclasses.replace(enc, remat=True),
+        last_encoder=dataclasses.replace(enc, remat=True))
+    rng = np.random.default_rng(0)
+    B, L, OFF = 2, 16, 10
+    batch = {
+        "input_ids": rng.integers(2, 128, (B, OFF + L)).astype(np.int32),
+        "segment_ids": np.concatenate([np.zeros((B, OFF), np.int32),
+                                       np.ones((B, L), np.int32)], 1),
+        "input_mask": np.ones((B, OFF + L), np.int32),
+        "ori_input_ids": rng.integers(2, 128, (B, L)).astype(np.int32),
+        "ori_input_mask": np.ones((B, L), np.int32),
+        "ori_segment_ids": np.zeros((B, L), np.int32),
+        "img_mask": np.ones((B, 49), np.int32),
+        "clip_features": rng.standard_normal((B, 1, 16)).astype(np.float32),
+        "visual_mean": rng.standard_normal((B, 32)).astype(np.float32),
+        "visual_grid": rng.standard_normal((B, 7, 7, 32))
+        .astype(np.float32),
+        "output_mask": np.ones((B, L), np.int32),
+    }
+    labels = rng.integers(0, cfg.num_labels, (B, L)).astype(np.int32)
+    m, mr = ICKAModel(cfg), ICKAModel(rcfg)
+    p = m.init(jax.random.PRNGKey(0), batch, (3, 7), OFF, mode="test")
+    loss = float(m.apply(p, batch, (3, 7), OFF, mode="train",
+                         labels=labels, deterministic=True))
+    loss_r = float(mr.apply(p, batch, (3, 7), OFF, mode="train",
+                            labels=labels, deterministic=True))
+    assert abs(loss - loss_r) < 1e-6
+    g = jax.grad(lambda p: mr.apply(p, batch, (3, 7), OFF, mode="train",
+                                    labels=labels, deterministic=True))(p)
+    gn = float(sum(np.abs(np.asarray(l)).sum()
+                   for l in jax.tree.leaves(g)))
+    assert np.isfinite(gn) and gn > 0
