@@ -206,7 +206,10 @@ class CrossAttentionLayer(nn.Module):
         a = MultiHeadAttention(
             self.cfg.num_attention_heads, dtype=self.dtype,
             dropout_rate=self.cfg.attention_probs_dropout_prob,
-            use_pallas=self.cfg.use_pallas, quant=self.cfg.quant,
+            # cross-attention shapes (128 q × 49 kv) measure FASTER on the
+            # XLA einsum path (tools/bench_pallas.py: pallas 1.12x slower),
+            # so use_pallas only routes the self-attention stacks.
+            use_pallas=False, quant=self.cfg.quant,
             name="attn")(x, kv=kv, bias=bias, deterministic=deterministic)
         x = AttentionOutput(self.cfg.layer_norm_eps, dtype=self.dtype,
                             dropout_rate=self.cfg.hidden_dropout_prob,
