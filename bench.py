@@ -400,7 +400,8 @@ def main(argv=None):
             except Exception as e:      # pragma: no cover
                 print(f"# gate_cl bench failed: {e}", file=sys.stderr)
             try:
-                v8, _ = bench_icka(args.quick, [64], iters, int8=True)
+                v8, _ = bench_icka(args.quick, [64], iters,
+                                   pallas=use_pallas, int8=True)
                 extra["icka_int8_pairs_per_sec"] = round(v8, 2)
             except Exception as e:      # pragma: no cover
                 print(f"# int8 bench failed: {e}", file=sys.stderr)
