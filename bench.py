@@ -170,9 +170,12 @@ def bench_icka(quick: bool, batch_sizes, iters: int, pallas: bool = False,
     return best, best_bs
 
 
-def bench_gate_cl(quick: bool, batch_sizes, iters: int):
+def bench_gate_cl(quick: bool, batch_sizes, iters: int,
+                  pallas: bool = False):
     """BERT-base gated-fusion family (BASELINE config 4): single encoder +
     txt2img fusion + gate + CRF decode — the high-throughput config."""
+    import dataclasses
+
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -189,6 +192,9 @@ def bench_gate_cl(quick: bool, batch_sizes, iters: int):
         cfg = GateCLConfig(encoder=enc, region_dim=64, max_seq_length=32)
     else:
         cfg = GateCLConfig()      # BERT-base dims
+    if pallas:
+        cfg = dataclasses.replace(
+            cfg, encoder=dataclasses.replace(cfg.encoder, use_pallas=True))
 
     dtype = jnp.bfloat16
     model = GateCLModel(cfg, dtype=dtype)
@@ -370,11 +376,15 @@ def main(argv=None):
     elif args.quick:
         batch_sizes = [8]
     else:
-        # best-known batch sizes per model on v5e (r02 sweep: 96 regressed
-        # vs 64 for icka). Keep ONE size per model: every extra size is a
-        # fresh ~25-min remote compile, and the loop trip count is baked
-        # into the program — defaults here must match the warmed cache.
-        batch_sizes = [64] if args.model != "gate_cl" else [128]
+        # best-known batch sizes per model on v5e (r02 sweep: icka 128 >
+        # 96/64; train is HBM-capped at 16). Keep ONE size per model:
+        # every extra size is a fresh ~25-min remote compile, and the loop
+        # trip count is baked into the program — defaults here must match
+        # the warmed cache.
+        if args.model == "train":
+            batch_sizes = [16]
+        else:
+            batch_sizes = [128]
     iters = args.iters or (3 if args.quick else 10)
 
     # serving default set by measurement: Pallas self-attention is +5%
@@ -394,13 +404,16 @@ def main(argv=None):
         # "what isn't recorded didn't happen")
         if not args.skip_extras and not args.quick:
             try:
+                # pallas measured SLOWER for gate_cl (3778 vs 3995 pairs/s
+                # at batch 128: BERT-base 12-head/64-dim shapes) — einsum
+                # path stays the gate_cl default
                 g, gbs = bench_gate_cl(args.quick, [128], iters)
                 extra["gate_cl_pairs_per_sec"] = round(g, 2)
                 extra["gate_cl_batch"] = gbs
             except Exception as e:      # pragma: no cover
                 print(f"# gate_cl bench failed: {e}", file=sys.stderr)
             try:
-                v8, _ = bench_icka(args.quick, [64], iters,
+                v8, _ = bench_icka(args.quick, [128], iters,
                                    pallas=use_pallas, int8=True)
                 extra["icka_int8_pairs_per_sec"] = round(v8, 2)
             except Exception as e:      # pragma: no cover
@@ -412,7 +425,8 @@ def main(argv=None):
             except Exception as e:      # pragma: no cover
                 print(f"# train bench failed: {e}", file=sys.stderr)
     elif args.model == "gate_cl":
-        value, best_bs = bench_gate_cl(args.quick, batch_sizes, iters)
+        value, best_bs = bench_gate_cl(args.quick, batch_sizes, iters,
+                                       pallas=args.pallas)
         metric = "gate_cl_inference_pairs_per_sec_per_chip"
     else:
         value = bench_train(args.quick, batch_sizes[0], iters)
