@@ -30,6 +30,13 @@ _LAZY = {
     "ICKATrainer": "icka_tpu.train.trainer",
     "GateCLTrainer": "icka_tpu.train.gate_cl_trainer",
     "CRF": "icka_tpu.nn.crf",
+    # VCR/captioning subsystem
+    "ChunkAlignConfig": "icka_tpu.models.chunkalign",
+    "ChunkAlignCLS": "icka_tpu.models.chunkalign",
+    "ChunkAlignRationale": "icka_tpu.models.chunkalign",
+    "ImageBertSequenceClassifier": "icka_tpu.models.oscar",
+    "OscarMultipleChoice": "icka_tpu.models.oscar",
+    "ImageBertPreTraining": "icka_tpu.models.oscar",
 }
 
 
