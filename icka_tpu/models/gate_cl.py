@@ -94,9 +94,12 @@ class GateCLModel(nn.Module):
                                          name="image_output_cl")
 
     def __call__(self, input_ids, segment_ids, input_mask, img_mask,
-                 visual_mean, visual_grid, labels=None, deterministic=True):
+                 visual_mean, visual_grid, labels=None, deterministic=True,
+                 return_emissions=False):
         """Train: returns scalar loss; inference (labels=None): decoded tags.
-        Matches the reference calling convention (:1319-1400)."""
+        Matches the reference calling convention (:1319-1400).
+        `return_emissions=True` short-circuits to the pre-CRF emissions —
+        used by the int8 serving accuracy-contract tests."""
         cfg = self.cfg
         B = input_ids.shape[0]
         seq, pooled = self.bert(input_ids, input_mask, segment_ids,
@@ -141,6 +144,8 @@ class GateCLModel(nn.Module):
 
         final = jnp.concatenate([seq, gated], axis=-1)
         emissions = self.classifier(final)
+        if return_emissions:
+            return emissions
 
         # contrastive projection heads run unconditionally so params exist
         # whether the module is initialized from the train or infer path

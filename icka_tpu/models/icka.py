@@ -104,7 +104,7 @@ class ICKAModel(nn.Module):
         self.gate = GlobalFusionGate(H, cfg.embedding.layer_norm_eps,
                                      dtype=self.dtype, name="gate")
         self.lstm = BiLSTM(hidden=cfg.last_hidden, dtype=self.dtype,
-                           name="lstm")
+                           quant=cfg.last_encoder.quant, name="lstm")
         self.classifier = Dense(cfg.num_labels, dtype=self.dtype,
                                 name="classifier")
         self.crf = CRF(num_tags=cfg.num_labels, name="crf")

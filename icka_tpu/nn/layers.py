@@ -108,6 +108,14 @@ class Dense(nn.Module):
     fp32 tree), activations are dynamically quantized per row
     (abs-max/127), and the matmul runs int8×int8→int32 on the MXU — 2× the
     bf16 peak on v5e. LayerNorm/softmax/bias stay high precision.
+
+    `quant="int8_static"` replaces the dynamic per-row activation scale
+    with ONE calibrated per-tensor scale stored as the `act_scale` param:
+    the per-call abs-max reduction over the whole activation disappears
+    and quantization becomes a fusable elementwise epilogue of the
+    producing op. Calibrate by running the dynamic model with
+    `mutable=["calib"]` (the dynamic path sows the observed abs-max) and
+    convert with `icka_tpu.models.convert.static_quantize_params_like`.
     """
 
     features: int
@@ -119,7 +127,7 @@ class Dense(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_dim = x.shape[-1]
-        if self.quant == "int8":
+        if self.quant in ("int8", "int8_static"):
             kernel_q = self.param(
                 "kernel_q",
                 lambda key, shape, dtype: jax.random.randint(
@@ -129,9 +137,17 @@ class Dense(nn.Module):
                 "kernel_scale",
                 nn.initializers.constant(0.02 / 127.0),
                 (self.features,), jnp.float32)
-            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
-                           keepdims=True)
-            a_scale = jnp.maximum(amax, 1e-8) / 127.0
+            if self.quant == "int8_static":
+                a_scale = self.param("act_scale",
+                                     nn.initializers.constant(1.0 / 127.0),
+                                     (), jnp.float32)
+            else:
+                amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                               keepdims=True)
+                self.sow("calib", "amax", jnp.max(amax),
+                         reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.zeros((), jnp.float32))
+                a_scale = jnp.maximum(amax, 1e-8) / 127.0
             x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
                            -127, 127).astype(jnp.int8)
             acc = jax.lax.dot_general(

@@ -69,6 +69,11 @@ class BiLSTM(nn.Module):
     hidden: int
     dtype: jnp.dtype = jnp.float32
     unroll: int = 0  # 0 = backend default (8 on TPU, 1 elsewhere)
+    # "int8" quantizes the hoisted input projection dynamically (and sows
+    # calibration abs-max); "int8_static" consumes offline-quantized
+    # weights + a calibrated per-tensor activation scale. The tiny
+    # latency-bound recurrent matmul stays in the compute dtype.
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
@@ -83,10 +88,9 @@ class BiLSTM(nn.Module):
             return init(key, shape, dtype) - k
 
         params = {}
+        static_q = self.quant == "int8_static"
         for direction in ("fwd", "bwd"):
             params[direction] = dict(
-                w_ih=self.param(f"w_ih_{direction}", u, (4 * H, in_dim),
-                                jnp.float32),
                 w_hh=self.param(f"w_hh_{direction}", u, (4 * H, H),
                                 jnp.float32),
                 b_ih=self.param(f"b_ih_{direction}", u, (4 * H,),
@@ -94,16 +98,54 @@ class BiLSTM(nn.Module):
                 b_hh=self.param(f"b_hh_{direction}", u, (4 * H,),
                                 jnp.float32),
             )
+            if not static_q:
+                params[direction]["w_ih"] = self.param(
+                    f"w_ih_{direction}", u, (4 * H, in_dim), jnp.float32)
 
         # One MXU matmul for every timestep's input contribution, both
         # directions at once: (B, L, D) × (D, 8H).
-        w_ih_all = jnp.concatenate(
-            [params["fwd"]["w_ih"].T, params["bwd"]["w_ih"].T], axis=1)
-        proj = jnp.einsum(
-            "bld,dg->blg", x.astype(self.dtype),
-            w_ih_all.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-            precision=matmul_precision(self.dtype))
+        if static_q:
+            w_ih_q = self.param("w_ih_q", nn.initializers.zeros,
+                                (in_dim, 8 * H), jnp.int8)
+            w_ih_scale = self.param("w_ih_scale",
+                                    nn.initializers.constant(1.0 / 127.0),
+                                    (8 * H,), jnp.float32)
+            a_s = self.param("act_scale",
+                             nn.initializers.constant(1.0 / 127.0),
+                             (), jnp.float32)
+            x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_s),
+                           -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                x_q, w_ih_q, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            proj = acc.astype(jnp.float32) * (a_s * w_ih_scale)
+        elif self.quant == "int8":
+            w_ih_all = jnp.concatenate(
+                [params["fwd"]["w_ih"].T, params["bwd"]["w_ih"].T], axis=1)
+            w_s = jnp.maximum(jnp.max(jnp.abs(w_ih_all), axis=0),
+                              1e-8) / 127.0
+            w_q = jnp.clip(jnp.round(w_ih_all / w_s[None, :]),
+                           -127, 127).astype(jnp.int8)
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                           keepdims=True)
+            self.sow("calib", "amax", jnp.max(amax),
+                     reduce_fn=jnp.maximum,
+                     init_fn=lambda: jnp.zeros((), jnp.float32))
+            a_s = jnp.maximum(amax, 1e-8) / 127.0
+            x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_s),
+                           -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                x_q, w_q, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            proj = acc.astype(jnp.float32) * (a_s * w_s)
+        else:
+            w_ih_all = jnp.concatenate(
+                [params["fwd"]["w_ih"].T, params["bwd"]["w_ih"].T], axis=1)
+            proj = jnp.einsum(
+                "bld,dg->blg", x.astype(self.dtype),
+                w_ih_all.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+                precision=matmul_precision(self.dtype))
         fwd_in = proj[..., : 4 * H] + params["fwd"]["b_ih"]
         bwd_in = proj[..., 4 * H:] + params["bwd"]["b_ih"]
         x_proj = jnp.stack([fwd_in, bwd_in[:, ::-1, :]], axis=0)
