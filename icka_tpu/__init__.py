@@ -34,6 +34,11 @@ _LAZY = {
     "ChunkAlignConfig": "icka_tpu.models.chunkalign",
     "ChunkAlignCLS": "icka_tpu.models.chunkalign",
     "ChunkAlignRationale": "icka_tpu.models.chunkalign",
+    "generate_rationale": "icka_tpu.models.chunkalign",
+    "rationale_bonus_mask": "icka_tpu.models.chunkalign",
+    "BaselineCLS": "icka_tpu.models.chunkalign_baselines",
+    "BaselineRationale": "icka_tpu.models.chunkalign_baselines",
+    "EnsembleRefiner": "icka_tpu.models.chunkalign_baselines",
     "ImageBertSequenceClassifier": "icka_tpu.models.oscar",
     "OscarMultipleChoice": "icka_tpu.models.oscar",
     "ImageBertPreTraining": "icka_tpu.models.oscar",

@@ -103,11 +103,14 @@ class CBSResult(NamedTuple):
 def constrained_beam_search(step_fn: StepFn, init_tokens, cache,
                             fsm: ConstraintFSM, max_len: int,
                             eos_id: int, beams_per_state: int = 2,
-                            pad_id: int = 0) -> CBSResult:
+                            pad_id: int = 0,
+                            forced=None, forced_len=0) -> CBSResult:
     """Per-FSM-state beam search (`ConstrainedBeamSearch.search`).
 
     The cache pytree must have leading batch dim B; it is tiled to
-    B·S·K beam slots and re-gathered every step.
+    B·S·K beam slots and re-gathered every step. `forced`/`forced_len`
+    teacher-force a (possibly ragged) decoding prefix — FSM transitions
+    still fire on forced tokens.
     """
     B = init_tokens.shape[0]
     S = fsm.num_states
@@ -134,6 +137,15 @@ def constrained_beam_search(step_fn: StepFn, init_tokens, cache,
         logp = jnp.where(finished.reshape(BSK, 1), pad_only[None], logp)
         cand = scores.reshape(BSK, 1) + logp          # (BSK, V)
         cand = cand.reshape(B, S, K, V)
+        if forced is not None:
+            from icka_tpu.generation.decoding import _forced_active
+            f_now = _forced_active(forced_len, t)     # (B,)
+            ftok = jnp.take(forced, jnp.minimum(t + 1, forced.shape[1] - 1),
+                            axis=1)
+            only = jax.nn.one_hot(ftok, V, dtype=bool)
+            cand = jnp.where(
+                f_now[:, None, None, None],
+                jnp.where(only[:, None, None, :], cand, -1e9), cand)
 
         # next-state of every candidate: (S, V) broadcast over (B, ., K, .)
         cand_next = jnp.broadcast_to(

@@ -77,10 +77,24 @@ def top_k_top_p_filter(logits, top_k: int = 0, top_p: float = 1.0,
     return logits
 
 
+def _forced_active(forced_len, t):
+    """(B,)-broadcastable bool — whether position t+1 is still inside the
+    forced prefix. `forced_len` may be a python int or a (B,) array
+    (ragged prefixes)."""
+    return jnp.atleast_1d(jnp.asarray(forced_len) > (t + 1))
+
+
 def _decode_loop(step_fn: StepFn, init_tokens, cache, max_len: int,
                  eos_id: int, pad_id: int, key,
-                 select_fn: Callable):
-    """Shared scan: `select_fn(logits, key) -> (token, logprob)`."""
+                 select_fn: Callable, forced=None, forced_len=0):
+    """Shared scan: `select_fn(logits, key) -> (token, logprob)`.
+
+    `forced` (B, ≥max forced_len) + `forced_len` (int or (B,)) teacher-force
+    a decoding prefix: while t+1 < forced_len the emitted token is
+    forced[:, t+1] regardless of the model's choice (the KV cache still
+    fills from the model pass), so prompted generation reuses the same
+    fixed-shape scan — ragged per-sample prompts included.
+    """
     B = init_tokens.shape[0]
     buf = jnp.full((B, max_len), pad_id, jnp.int32)
     buf = buf.at[:, 0].set(init_tokens)
@@ -98,10 +112,20 @@ def _decode_loop(step_fn: StepFn, init_tokens, cache, max_len: int,
         state = state._replace(cache=cache)
         key, sub = jax.random.split(state.key)
         nxt, logp = select_fn(logits, sub, state.tokens)
+        if forced is not None:
+            f_now = _forced_active(forced_len, t)
+            ftok = jnp.take(forced, jnp.minimum(t + 1, forced.shape[1] - 1),
+                            axis=1)
+            logp_all = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            logp_f = jnp.take_along_axis(logp_all, ftok[:, None], 1)[:, 0]
+            nxt = jnp.where(f_now, ftok, nxt)
+            logp = jnp.where(f_now, logp_f, logp)
         nxt = jnp.where(state.finished, pad_id, nxt).astype(jnp.int32)
         logp = jnp.where(state.finished, 0.0, logp)
         tokens = state.tokens.at[:, t + 1].set(nxt)
         finished = state.finished | (nxt == eos_id)
+        if forced is not None:
+            finished = finished & ~_forced_active(forced_len, t)
         return DecodeState(tokens, finished, state.cache, key,
                            state.scores + logp), None
 
@@ -111,7 +135,8 @@ def _decode_loop(step_fn: StepFn, init_tokens, cache, max_len: int,
 
 def greedy_decode(step_fn: StepFn, init_tokens, cache, max_len: int,
                   eos_id: int, pad_id: int = 0,
-                  repetition_penalty: float = 1.0):
+                  repetition_penalty: float = 1.0,
+                  forced=None, forced_len=0):
     def select(logits, key, emitted):
         logits = apply_repetition_penalty(logits, emitted,
                                           repetition_penalty)
@@ -120,13 +145,15 @@ def greedy_decode(step_fn: StepFn, init_tokens, cache, max_len: int,
         return tok, jnp.take_along_axis(logp, tok[:, None], 1)[:, 0]
 
     return _decode_loop(step_fn, init_tokens, cache, max_len, eos_id,
-                        pad_id, jax.random.PRNGKey(0), select)
+                        pad_id, jax.random.PRNGKey(0), select,
+                        forced=forced, forced_len=forced_len)
 
 
 def sample_decode(step_fn: StepFn, init_tokens, cache, max_len: int,
                   eos_id: int, key, pad_id: int = 0,
                   temperature: float = 1.0, top_k: int = 0,
-                  top_p: float = 1.0, repetition_penalty: float = 1.0):
+                  top_p: float = 1.0, repetition_penalty: float = 1.0,
+                  forced=None, forced_len=0):
     def select(logits, key, emitted):
         logits = apply_repetition_penalty(logits, emitted,
                                           repetition_penalty)
@@ -138,7 +165,8 @@ def sample_decode(step_fn: StepFn, init_tokens, cache, max_len: int,
         return tok, jnp.take_along_axis(logp, tok[:, None], 1)[:, 0]
 
     return _decode_loop(step_fn, init_tokens, cache, max_len, eos_id,
-                        pad_id, key, select)
+                        pad_id, key, select,
+                        forced=forced, forced_len=forced_len)
 
 
 @dataclass
@@ -150,10 +178,20 @@ class BeamResult:
 def beam_search(step_fn: StepFn, init_tokens, cache, max_len: int,
                 eos_id: int, num_beams: int, pad_id: int = 0,
                 length_penalty: float = 1.0,
-                early_stopping: bool = False) -> BeamResult:
+                early_stopping: bool = False,
+                forced=None, forced_len=0,
+                bonus_mask=None, bonus_factor: float = 1.0,
+                repetition_penalty: float = 1.0) -> BeamResult:
     """Fixed-shape beam search (reference `_generate_beam_search` +
     `BeamHypotheses`). The cache pytree must have leading batch dim B; it is
-    tiled to B·num_beams and re-gathered every step."""
+    tiled to B·num_beams and re-gathered every step.
+
+    `forced`/`forced_len` teacher-force a (possibly ragged) decoding prefix
+    through every beam. `bonus_mask` (B, V) + `bonus_factor` implement the
+    reference's `BeamSearchScorer_constrained` semantics
+    (`modeling_vcr_chunkalign_v10.py:1948-1950`): a candidate emitting a
+    constraint token has its RUNNING score multiplied by the factor —
+    log-probs are negative, so a factor < 1 boosts constraint words."""
     B = init_tokens.shape[0]
     K = num_beams
     BK = B * K
@@ -177,8 +215,26 @@ def beam_search(step_fn: StepFn, init_tokens, cache, max_len: int,
         cur = tokens[:, t]
         logits, cache = step_fn(cur, cache, t)           # (BK, V)
         V = logits.shape[-1]
+        if repetition_penalty != 1.0:
+            logits = apply_repetition_penalty(logits, tokens,
+                                              repetition_penalty)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         cand = beam_scores.reshape(BK, 1) + logp          # (BK, V)
+        if bonus_mask is not None and bonus_factor != 1.0:
+            cand = cand.reshape(B, K, V)
+            cand = jnp.where(bonus_mask[:, None, :], cand * bonus_factor,
+                             cand)
+            cand = cand.reshape(BK, V)
+        if forced is not None:
+            f_now = _forced_active(forced_len, t)         # (B,)
+            ftok = jnp.take(forced, jnp.minimum(t + 1, forced.shape[1] - 1),
+                            axis=1)                       # (B,)
+            only_forced = jax.nn.one_hot(ftok, V, dtype=bool)   # (B, V)
+            cand = cand.reshape(B, K, V)
+            cand = jnp.where(
+                f_now[:, None, None],
+                jnp.where(only_forced[:, None, :], cand, -1e9), cand)
+            cand = cand.reshape(BK, V)
         cand = cand.reshape(B, K * V)
         # take 2K best to guarantee K non-eos continuations
         top_scores, top_idx = jax.lax.top_k(cand, 2 * K)  # (B, 2K)

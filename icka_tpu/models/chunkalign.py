@@ -60,6 +60,13 @@ class ChunkAlignConfig:
     add_residual: bool = True
     add_local_residual: bool = False
     num_choices: int = 4
+    # family variant flags (reference classes → flags):
+    #   use_chunk_align=False → `_wo_chual` (:1255, dec :1654): no staged
+    #     chunk encoder; CLS + memory come from the global encoder only
+    #   use_reasoning=False  → `_wo_reasoning` (:1171, dec :1500): no CLS
+    #     cross-attention reasoning layers before the classifier
+    use_chunk_align: bool = True
+    use_reasoning: bool = True
 
     @classmethod
     def tiny(cls, vocab_size: int = 64) -> "ChunkAlignConfig":
@@ -247,23 +254,44 @@ class GlobalVLEncoder(nn.Module):
 
 
 class ClsAttentionLayer(nn.Module):
-    """CLS token cross-attends over an alignment memory (`ClsLayer2`)."""
+    """CLS token cross-attends over an alignment memory (`ClsLayer2`).
+
+    `return_probs=True` additionally returns the head-averaged fp32
+    attention distribution over the memory — the signal the `_beam`
+    decoders rank to pick constraint words (:2114-2118)."""
 
     cfg: EncoderConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, memory, cls, mem_bias, deterministic=True):
-        a = MultiHeadAttention(self.cfg.num_attention_heads,
-                               dtype=self.dtype, name="attn")(
-            cls[:, None, :], kv=memory, bias=mem_bias,
-            deterministic=deterministic)
+    def __call__(self, memory, cls, mem_bias, deterministic=True,
+                 return_probs: bool = False):
+        mha = MultiHeadAttention(self.cfg.num_attention_heads,
+                                 dtype=self.dtype, name="attn")
+        a = mha(cls[:, None, :], kv=memory, bias=mem_bias,
+                deterministic=deterministic)
         x = AttentionOutput(self.cfg.layer_norm_eps, dtype=self.dtype,
                             name="attn_out")(a, cls[:, None, :],
                                              deterministic)
         x = FeedForward(self.cfg.intermediate_size, self.cfg.layer_norm_eps,
                         dtype=self.dtype, name="ffn")(x, deterministic)
-        return x[:, 0]
+        if not return_probs:
+            return x[:, 0]
+        # re-derive the (1-query) attention probs for ranking; reuses the
+        # bound MHA's q/k parameters (negligible extra work at 1 query)
+        attn = mha.variables["params"]
+        d = memory.shape[-1]
+        N = self.cfg.num_attention_heads
+        q = (cls @ attn["query"]["kernel"]
+             + attn["query"]["bias"]).reshape(-1, N, d // N)
+        k = (memory @ attn["key"]["kernel"] + attn["key"]["bias"]) \
+            .reshape(memory.shape[0], -1, N, d // N)
+        scores = jnp.einsum("bnh,bknh->bnk", q.astype(jnp.float32),
+                            k.astype(jnp.float32))
+        scores = scores * ((d // N) ** -0.5) \
+            + mem_bias.astype(jnp.float32)[:, 0, 0][:, None, :]
+        probs = jax.nn.softmax(scores, axis=-1).mean(axis=1)   # (B, Lm)
+        return x[:, 0], probs
 
 
 def binary_to_mp(logits, num_choices: int):
@@ -283,13 +311,15 @@ class ChunkAlignCLS(nn.Module):
         enc = self.cfg.encoder
         self.global_enc = GlobalVLEncoder(self.cfg, dtype=self.dtype,
                                           name="global_enc")
-        self.seq_enc = StagedVLEncoder(self.cfg, dtype=self.dtype,
-                                       name="seq_enc")
-        self.cls_ensemble = Dense(enc.hidden_size, dtype=self.dtype,
-                                  name="cls_ensemble")
-        self.cls_layers = [ClsAttentionLayer(enc, dtype=self.dtype,
-                                             name=f"cls_layer_{i}")
-                           for i in range(3)]
+        if self.cfg.use_chunk_align:
+            self.seq_enc = StagedVLEncoder(self.cfg, dtype=self.dtype,
+                                           name="seq_enc")
+            self.cls_ensemble = Dense(enc.hidden_size, dtype=self.dtype,
+                                      name="cls_ensemble")
+        if self.cfg.use_reasoning:
+            self.cls_layers = [ClsAttentionLayer(enc, dtype=self.dtype,
+                                                 name=f"cls_layer_{i}")
+                               for i in range(3)]
         self.classifier = Dense(2, dtype=self.dtype, name="classifier")
 
     def _headless(self, input_ids, img_feats, input_mask, chunk_mask,
@@ -300,20 +330,38 @@ class ChunkAlignCLS(nn.Module):
                                        deterministic=deterministic,
                                        history_states=history_states,
                                        history_mask=history_mask)
-        s_seq, s_cls, cross_probs, chunk_hidden = self.seq_enc(
-            input_ids, img_feats, input_mask, chunk_mask, gather_index,
-            num_chunks, deterministic=deterministic)
-        cls = self.cls_ensemble(jnp.concatenate([g_cls, s_cls], -1))
-        memory = jnp.concatenate(
-            [g_seq[:, 1:Lh], s_seq[:, 1:Lh], chunk_hidden[:, 1:Lh]], axis=1)
         word_mask = input_mask[:, 1:Lh]
-        mem_bias = additive_mask(
-            jnp.concatenate([word_mask] * 3, axis=1))
-        for layer in self.cls_layers:
-            cls = layer(memory, cls, mem_bias, deterministic)
+        if self.cfg.use_chunk_align:
+            s_seq, s_cls, cross_probs, chunk_hidden = self.seq_enc(
+                input_ids, img_feats, input_mask, chunk_mask, gather_index,
+                num_chunks, deterministic=deterministic)
+            cls = self.cls_ensemble(jnp.concatenate([g_cls, s_cls], -1))
+            memory = jnp.concatenate(
+                [g_seq[:, 1:Lh], s_seq[:, 1:Lh], chunk_hidden[:, 1:Lh]],
+                axis=1)
+            mem_bias = additive_mask(
+                jnp.concatenate([word_mask] * 3, axis=1))
+        else:
+            # `_wo_chual` (:1266-1293): CLS and memory from the global
+            # encoder alone; no staged encoder, no align supervision
+            s_seq, chunk_hidden = g_seq, g_seq
+            cross_probs = jnp.zeros(
+                (B, 1, self.cfg.encoder.num_attention_heads,
+                 Lh + img_feats.shape[1], Lh + img_feats.shape[1]),
+                jnp.float32)
+            cls = g_cls
+            memory = g_seq[:, 1:Lh]
+            mem_bias = additive_mask(word_mask)
+        cls_attn = None
+        if self.cfg.use_reasoning:
+            for layer in self.cls_layers:
+                cls, probs = layer(memory, cls, mem_bias, deterministic,
+                                   return_probs=True)
+                cls_attn = probs if cls_attn is None else cls_attn + probs
         logits = self.classifier(cls)                   # (B·C, 2)
         inter = {"g_seq": g_seq, "s_seq": s_seq,
-                 "chunk_hidden": chunk_hidden, "word_mask": word_mask}
+                 "chunk_hidden": chunk_hidden, "word_mask": word_mask,
+                 "cls_attn": cls_attn}
         return logits, cross_probs, inter
 
     def __call__(self, input_ids, img_feats, input_mask, chunk_mask,
@@ -339,6 +387,10 @@ class ChunkAlignCLS(nn.Module):
         pred = scores.argmax(-1)
         gold = label.reshape(-1, C).argmax(-1)
         matched = pred == gold
+        if not self.cfg.use_chunk_align:
+            # `_wo_chual` has no align supervision (:1266-1293)
+            zero = jnp.zeros((), jnp.float32)
+            return cls_loss, matched, zero, zero, zero
 
         # align loss: last-3-layer attention, summed over layers+heads,
         # text→image block, supervised positions only (:1074-1080)
@@ -394,12 +446,39 @@ class ChunkAlignRationale(nn.Module):
         logits, _, inter = self.core._headless(
             input_ids, img_feats, input_mask, chunk_mask, gather_index,
             num_chunks, deterministic)
-        # decoder memory order differs from the cls memory (:1386-1389)
-        memory = jnp.concatenate(
-            [inter["s_seq"][:, 1:Lh], inter["g_seq"][:, 1:Lh],
-             inter["chunk_hidden"][:, 1:Lh]], axis=1)
-        mem_mask = jnp.concatenate([inter["word_mask"]] * 3, axis=1)
-        return logits, memory, mem_mask
+        if self.cfg.use_chunk_align:
+            # decoder memory order differs from the cls memory (:1386-1389)
+            memory = jnp.concatenate(
+                [inter["s_seq"][:, 1:Lh], inter["g_seq"][:, 1:Lh],
+                 inter["chunk_hidden"][:, 1:Lh]], axis=1)
+            mem_mask = jnp.concatenate([inter["word_mask"]] * 3, axis=1)
+        else:
+            # `dec5_4_wo_chual` feeds the global hypothesis rows (:1724)
+            memory = inter["g_seq"][:, 1:Lh]
+            mem_mask = inter["word_mask"]
+        return logits, memory, mem_mask, inter
+
+    def encode_for_generation(self, input_ids, img_feats, input_mask,
+                              chunk_mask, gather_index, num_chunks: int):
+        """Classifier pass + per-question decoder memory of the PREDICTED
+        answer's row (the `test_beam` pre-generation block, :2078-2196).
+        Returns (pred_answer (Bq,), memory, memory_mask, cls_attn) where
+        cls_attn is the summed reasoning-layer attention over the memory
+        (the constraint-word ranking signal; zeros when use_reasoning=False).
+        """
+        C = self.cfg.num_choices
+        logits, memory, mem_mask, inter = self._encode(
+            input_ids, img_feats, input_mask, chunk_mask, gather_index,
+            num_chunks, True)
+        scores = binary_to_mp(logits, C)
+        pred = scores.argmax(-1)
+        mem_chosen = self._choose_row(memory, pred, C)
+        mask_chosen = self._choose_row(mem_mask, pred, C)
+        cls_attn = inter.get("cls_attn")
+        if cls_attn is None:
+            cls_attn = jnp.zeros(mem_mask.shape, jnp.float32)
+        attn_chosen = self._choose_row(cls_attn, pred, C)
+        return pred, mem_chosen, mask_chosen, attn_chosen
 
     @staticmethod
     def _choose_row(x, row_idx, C):
@@ -414,7 +493,7 @@ class ChunkAlignRationale(nn.Module):
                  gather_index, num_chunks: int, expl_ids, attn_mask,
                  label, gpt_labels, deterministic=True):
         C = self.cfg.num_choices
-        logits, memory, mem_mask = self._encode(
+        logits, memory, mem_mask, _ = self._encode(
             input_ids, img_feats, input_mask, chunk_mask, gather_index,
             num_chunks, deterministic)
 
@@ -449,11 +528,15 @@ class ChunkAlignRationale(nn.Module):
     def generate(self, input_ids, img_feats, input_mask, chunk_mask,
                  gather_index, num_chunks: int, prompt_ids,
                  max_gen_len: int = 30, eos_id: int = 1):
-        """Greedy rationale generation. `prompt_ids` (B, Lp) is the decoding
-        prefix (the reference slices everything before `<|b_rtnl|>`).
+        """Greedy rationale generation, FULL-RECOMPUTE reference path: each
+        step re-runs the decoder over the whole buffer. Kept as the
+        exactness oracle for the KV-cached `generate_rationale` (which is
+        the serving path — O(L) attention work per step, beam/constrained
+        capable). `prompt_ids` (B, Lp) is the decoding prefix (the
+        reference slices everything before `<|b_rtnl|>`).
         Returns (tokens (B, Lp+max_gen_len), pred_answer)."""
         C = self.cfg.num_choices
-        logits, memory, mem_mask = self._encode(
+        logits, memory, mem_mask, _ = self._encode(
             input_ids, img_feats, input_mask, chunk_mask, gather_index,
             num_chunks, True)
         scores = binary_to_mp(logits, C)
@@ -487,3 +570,120 @@ class ChunkAlignRationale(nn.Module):
             body, (buf, finished),
             jnp.arange(Lp - 1, total - 1, dtype=jnp.int32))
         return buf, pred
+
+
+def rationale_bonus_mask(cls_attn, input_ids, dec_vocab_size: int,
+                         enc_to_dec_ids, stop_ids=(),
+                         top_frac: float = 0.5):
+    """Constraint-word extraction for the `_beam` rationale decoders
+    (`test_beam`, :2114-2146): rank hypothesis tokens by the summed
+    reasoning-layer CLS attention, keep the top half (minus stop words),
+    and mark their DECODER-vocab ids in a dense (Bq, dec_vocab) bonus mask
+    for `beam_search(bonus_mask=..., bonus_factor=...)`.
+
+    Host-side numpy. `enc_to_dec_ids` maps encoder token id → decoder token
+    id (build once from the two tokenizers; -1 = unmappable, e.g. subword
+    continuations — the reference drops '#'-pieces and short tokens).
+    `cls_attn` is (Bq, k·(Lh-1)) over k stacked copies of the hypothesis
+    words (copies are folded by word before ranking); `input_ids` is the
+    (Bq, Lh) hypothesis ids of the PREDICTED answer rows (gather with
+    `ChunkAlignRationale._choose_row` first)."""
+    import numpy as np
+
+    cls_attn = np.asarray(cls_attn, np.float64)
+    ids = np.asarray(input_ids)
+    Bq = cls_attn.shape[0]
+    Lw = ids.shape[1] - 1                          # hypothesis words
+    k = cls_attn.shape[1] // Lw
+    word_attn = cls_attn[:, :k * Lw].reshape(Bq, k, Lw).sum(1)
+    mapping = np.asarray(enc_to_dec_ids)
+    stop = set(int(s) for s in stop_ids)
+    mask = np.zeros((Bq, dec_vocab_size), bool)
+    keep = max(1, int(Lw * top_frac))
+    for b in range(Bq):
+        order = np.argsort(-word_attn[b])[:keep]
+        for w in order:
+            enc_id = int(ids[b, 1 + w])
+            if enc_id in stop:
+                continue
+            dec_id = int(mapping[enc_id]) if enc_id < len(mapping) else -1
+            if 0 <= dec_id < dec_vocab_size:
+                mask[b, dec_id] = True
+    return mask
+
+
+def generate_rationale(model: ChunkAlignRationale, params, enc_inputs: dict,
+                       prompt_ids, prompt_len, max_gen_len: int = 50,
+                       mode: str = "greedy", num_beams: int = 5,
+                       eos_id: int = 1, length_penalty: float = 1.0,
+                       repetition_penalty: float = 1.0,
+                       bonus_mask=None, bonus_factor: float = 1.0,
+                       fsm=None, beams_per_state: int = 2,
+                       min_constraints: int = 2):
+    """KV-cached rationale generation — the `ChunkAlign_CLS_dec5_4_beam`
+    family (:2042-2827) as one engine with modes:
+
+      - "greedy":      cached greedy (== the full-recompute `generate`)
+      - "beam":        fixed-shape beam search with the reference's
+                       repetition/length penalties and the
+                       `BeamSearchScorer_constrained` score-bonus rule
+                       (`bonus_mask` from `rationale_bonus_mask`,
+                       `bonus_factor` = the reference `constrained` arg)
+      - "constrained": FSM-constrained beam search (utils/cbs.py machinery)
+                       over explicit constraint token sequences
+
+    `enc_inputs` carries the classifier inputs (input_ids...num_chunks);
+    `prompt_ids` (Bq, Lp) is the rationale prompt, teacher-forced through
+    the decoder (`prompt_len` int or (Bq,) for ragged prompts). Returns
+    (tokens, pred_answer) — tokens (Bq, Lp+max_gen_len) for greedy/beam,
+    or the constraint-selected best beam for "constrained".
+    """
+    from icka_tpu.generation.constrained import (
+        constrained_beam_search,
+        select_best_beam_with_constraints,
+    )
+    from icka_tpu.generation.decoding import beam_search, greedy_decode
+    from icka_tpu.generation.gpt2_cache import (
+        cached_gpt2_step,
+        precompute_gpt2_cache,
+    )
+
+    pred, memory, mem_mask, _ = model.apply(
+        params, method="encode_for_generation", **enc_inputs)
+    dec_params = params["params"]["dec"]
+    lm_kernel = params["params"]["lm_head"]["kernel"]
+    B, Lp = prompt_ids.shape
+    total = Lp + max_gen_len
+    cache = precompute_gpt2_cache(dec_params, model.gpt2_cfg,
+                                  memory, mem_mask, total)
+
+    def step(tok, cache, t):
+        return cached_gpt2_step(dec_params, model.gpt2_cfg, lm_kernel,
+                                tok, t, cache)
+
+    forced = jnp.asarray(prompt_ids, jnp.int32)
+    init = forced[:, 0]
+    pad = model.pad_token_id
+    if mode == "greedy":
+        st = greedy_decode(step, init, cache, total, eos_id, pad_id=pad,
+                           repetition_penalty=repetition_penalty,
+                           forced=forced, forced_len=prompt_len)
+        return st.tokens, pred
+    if mode == "beam":
+        res = beam_search(step, init, cache, total, eos_id,
+                          num_beams=num_beams, pad_id=pad,
+                          length_penalty=length_penalty,
+                          repetition_penalty=repetition_penalty,
+                          forced=forced, forced_len=prompt_len,
+                          bonus_mask=bonus_mask, bonus_factor=bonus_factor)
+        return res.tokens[:, 0], pred
+    if mode == "constrained":
+        res = constrained_beam_search(step, init, cache, fsm, total,
+                                      eos_id,
+                                      beams_per_state=beams_per_state,
+                                      pad_id=pad, forced=forced,
+                                      forced_len=prompt_len)
+        toks, _ = select_best_beam_with_constraints(
+            res, fsm, min_constraints=min_constraints)
+        return toks, pred
+    raise ValueError(f"unknown mode {mode!r}")
