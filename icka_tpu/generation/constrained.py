@@ -213,3 +213,127 @@ def select_best_beam_with_constraints(result: CBSResult,
         best_tokens.append(tokens[b, s, k])
         best_scores.append(scores[b, s, k])
     return np.stack(best_tokens), np.asarray(best_scores)
+
+
+# ---------------------------------------------------------------------------
+# Constraint-word extraction from detection boxes (input side of the FSM)
+# ---------------------------------------------------------------------------
+
+# Open Images classes never used as constraints (`utils/cbs.py:506-517`)
+CONSTRAINT_BLACKLIST = frozenset([
+    "auto part", "bathroom accessory", "bicycle wheel", "boy", "building",
+    "clothing", "door handle", "fashion accessory", "footwear", "girl",
+    "hiking equipment", "human arm", "human beard", "human body",
+    "human ear", "human eye", "human face", "human foot", "human hair",
+    "human hand", "human head", "human leg", "human mouth", "human nose",
+    "land vehicle", "mammal", "man", "person", "personal care", "plant",
+    "plumbing fixture", "seat belt", "skull", "sports equipment", "tire",
+    "tree", "vehicle registration plate", "wheel", "woman",
+    "__background__",
+])
+
+# multi-word class-name normalizations (`utils/cbs.py:519-526`)
+CONSTRAINT_REPLACEMENTS = {
+    "band-aid": "bandaid",
+    "wood-burning stove": "wood burning stove",
+    "kitchen & dining room table": "table",
+    "salt and pepper shakers": "salt and pepper",
+    "power plugs and sockets": "power plugs",
+    "luggage and bags": "luggage",
+}
+
+
+class _HierarchyNode:
+    __slots__ = ("label", "children", "height")
+
+    def __init__(self, label, children):
+        self.label = label
+        self.children = children
+        self.height = (1 + max(c.height for c in children)) if children \
+            else 0
+
+
+def _read_hierarchy(node: dict) -> _HierarchyNode:
+    children = [_read_hierarchy(c) for c in node.get("Subcategory", [])]
+    return _HierarchyNode(str(node.get("LabelName", "")).lower(), children)
+
+
+class ConstraintFilter:
+    """Detection boxes → sensible constraint words for CBS decoding.
+
+    Port of `utils/cbs.py::ConstraintFilter` (:477-630): drop zero-score
+    padding boxes and blacklisted classes, hierarchy-aware NMS (for two
+    boxes with IoU ≥ `nms_threshold`, the finer-grained class suppresses
+    the coarser one — "dog" beats "mammal"; equal granularity keeps both),
+    keep the top-`max_given_constraints` by detection score, apply the
+    multi-word replacements, drop duplicates.
+
+    `hierarchy` is the Open Images class-hierarchy JSON (already loaded as
+    a dict: {"LabelName": ..., "Subcategory": [...]}) — node HEIGHT in this
+    tree measures granularity (leaf = finest = 0).
+
+    NOTE: the reference's keep-condition compares heights with `>=`
+    (`cbs.py:622-625`), which — given the ascending height ordering — keeps
+    every box and disables the suppression its own docstring describes.
+    This port implements the documented behavior (suppress strictly
+    coarser classes on high IoU, matching the upstream updown-baseline
+    code the reference copied from); see PARITY.md.
+    """
+
+    def __init__(self, hierarchy: dict, nms_threshold: float = 0.85,
+                 max_given_constraints: int = 3):
+        self._root = _read_hierarchy(hierarchy)
+        self._nms_threshold = nms_threshold
+        self._max = max_given_constraints
+
+    def _height(self, class_name: str) -> int:
+        """Height of the first hierarchy node whose label occurs in the
+        class name (the reference's substring `findall`, :589-594)."""
+        stack = [self._root]
+        while stack:
+            node = stack.pop(0)
+            if node.label and node.label in class_name:
+                return node.height
+            stack.extend(node.children)
+        return self._root.height
+
+    def __call__(self, boxes, class_names, scores):
+        boxes = np.asarray(boxes, np.float64)
+        scores = np.asarray(scores, np.float64)
+        keep = [i for i, c in enumerate(class_names)
+                if scores[i] > 0 and c not in CONSTRAINT_BLACKLIST]
+        boxes, scores = boxes[keep], scores[keep]
+        class_names = [class_names[i] for i in keep]
+
+        keep = self._nms(boxes, class_names)
+        boxes, scores = boxes[keep], scores[keep]
+        class_names = [class_names[i] for i in keep]
+
+        ranked = sorted(zip(class_names, scores),
+                        key=lambda t: -t[1])[: self._max]
+        out = [CONSTRAINT_REPLACEMENTS.get(c, c) for c, _ in ranked]
+        return list(set(out))
+
+    def _nms(self, boxes, class_names):
+        if len(class_names) == 0:
+            return []
+        heights = np.array([self._height(c) for c in class_names])
+        order = heights.argsort(kind="stable")
+        x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+        areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+        keep = []
+        while order.size > 0:
+            cur = order[0]
+            keep.append(int(cur))
+            xx1 = np.maximum(x1[cur], x1[order[1:]])
+            yy1 = np.maximum(y1[cur], y1[order[1:]])
+            xx2 = np.minimum(x2[cur], x2[order[1:]])
+            yy2 = np.minimum(y2[cur], y2[order[1:]])
+            inter = np.maximum(0.0, xx2 - xx1 + 1) \
+                * np.maximum(0.0, yy2 - yy1 + 1)
+            union = areas[cur] + areas[order[1:]] - inter
+            keep_cond = np.logical_or(
+                heights[order[1:]] <= heights[cur],
+                inter / union <= self._nms_threshold)
+            order = order[1:][np.where(keep_cond)[0]]
+        return keep

@@ -102,3 +102,48 @@ def test_itm_eval_perfect_diagonal():
     m = itm_eval(sim)
     assert m["txt_r1"] == 1.0 and m["img_r1"] == 1.0
     assert m["r_mean"] == 1.0
+
+
+def test_constraint_filter():
+    """ConstraintFilter port (`utils/cbs.py:477-630`): blacklist, zero-score
+    padding removal, hierarchy NMS (fine suppresses coarse at IoU>=0.85),
+    top-k by score, replacements, dedup."""
+    from icka_tpu.generation.constrained import ConstraintFilter
+
+    hierarchy = {
+        "LabelName": "entity",
+        "Subcategory": [
+            {"LabelName": "animal",
+             "Subcategory": [{"LabelName": "dog"}, {"LabelName": "cat"}]},
+            {"LabelName": "furniture",
+             "Subcategory": [
+                 {"LabelName": "kitchen & dining room table"}]},
+        ],
+    }
+    f = ConstraintFilter(hierarchy, nms_threshold=0.85,
+                         max_given_constraints=3)
+
+    boxes = np.array([
+        [0, 0, 10, 10],      # dog
+        [0, 0, 10, 10],      # animal — same box, coarser → suppressed
+        [50, 50, 60, 60],    # kitchen & dining room table → replaced
+        [0, 0, 5, 5],        # person — blacklisted
+        [20, 20, 30, 30],    # cat, zero score → padding, dropped
+    ], np.float32)
+    names = ["dog", "animal", "kitchen & dining room table", "person",
+             "cat"]
+    scores = np.array([0.9, 0.8, 0.7, 0.99, 0.0])
+    out = f(boxes, names, scores)
+    assert sorted(out) == ["dog", "table"], out
+
+    # non-overlapping coarse box survives NMS
+    boxes2 = np.array([[0, 0, 10, 10], [100, 100, 120, 120]], np.float32)
+    out2 = f(boxes2, ["dog", "animal"], np.array([0.9, 0.8]))
+    assert sorted(out2) == ["animal", "dog"]
+
+    # top-k limit: 4 distinct classes, keep the 3 best-scoring
+    boxes3 = np.array([[0, 0, 1, 1], [10, 10, 12, 12], [20, 20, 22, 22],
+                       [30, 30, 32, 32]], np.float32)
+    out3 = f(boxes3, ["dog", "cat", "furniture", "animal"],
+             np.array([0.9, 0.8, 0.7, 0.6]))
+    assert sorted(out3) == ["cat", "dog", "furniture"]
