@@ -180,10 +180,14 @@ class ICKAModel(nn.Module):
                            "token_embedding": token_embedding}
 
     def __call__(self, batch, mask_positions, offset: int, mode: str = "train",
-                 labels=None, deterministic=None):
+                 labels=None, deterministic=None,
+                 loss_reduction: str = "token_mean"):
         """Reference-forward-compatible entry. `batch` is a dict of arrays
         (see `icka_tpu.data.features`); mode ∈ {train, dev, test} selects the
-        CRF head behavior exactly like the reference (:1046-1057)."""
+        CRF head behavior exactly like the reference (:1046-1057).
+        `loss_reduction` applies to the dev-mode loss: "none" yields the
+        per-row NLL (B,) so evaluators can aggregate EXACT token-mean
+        losses over ragged eval tails (padded duplicate rows excluded)."""
         if deterministic is None:
             deterministic = mode != "train"
         emissions, _ = self.emissions(
@@ -208,7 +212,7 @@ class ICKAModel(nn.Module):
         if mode == "dev":
             pred = self.crf.decode(emissions, output_mask)
             loss = -self.crf(emissions, labels, output_mask,
-                             reduction="token_mean")
+                             reduction=loss_reduction)
             return pred, loss
         if mode == "test":
             return self.crf.decode(emissions, output_mask)

@@ -204,11 +204,14 @@ class ICKATrainer:
             labels = model_batch.pop("label_ids")
             model_batch["visual_mean"] = visual_mean
             model_batch["visual_grid"] = visual_grid
-            pred, loss = self.model.apply(
+            # loss_reduction="none": per-row NLL, so the eval loop can
+            # aggregate an EXACT token-mean over the unpadded dataset —
+            # duplicated tail rows never contaminate the denominator
+            pred, row_nll = self.model.apply(
                 {"params": state.params}, model_batch,
                 self.spec.mask_positions, self.spec.offset,
-                mode="dev", labels=labels)
-            return pred, loss
+                mode="dev", labels=labels, loss_reduction="none")
+            return pred, row_nll
 
         return step
 
@@ -268,23 +271,25 @@ class ICKATrainer:
             self._eval_step = self.make_eval_step()
         y_true_all, y_pred_all = [], []
         yt_idx_all, yp_idx_all = [], []
-        losses = []
+        nll_sum = 0.0
+        token_sum = 0.0
         label_map = {l: i for i, l in enumerate(
             self.label_list or MNER_LABELS, 1)}
         label_map["PAD"] = 0
-        weights = []
         for batch in loader:
             batch = dict(batch)
             # padded-tail duplicates (loader pads the last eval batch by
-            # repeating the final row) are dropped before metrics so F1
-            # matches the unpadded computation exactly
+            # repeating the final row) are dropped before metrics AND the
+            # loss: per-row NLLs + token counts aggregate to the exact
+            # token-mean loss of the unpadded dataset
             row_valid = batch.pop("row_valid", None)
             n = (int(np.sum(row_valid)) if row_valid is not None
                  else len(batch["label_ids"]))
             batch = shard_batch(self.mesh, batch)
-            pred, loss = self._eval_step(state, batch)
-            losses.append(float(loss))
-            weights.append(n)
+            pred, row_nll = self._eval_step(state, batch)
+            nll_sum += float(np.sum(np.asarray(row_nll)[:n]))
+            token_sum += float(
+                np.sum(np.asarray(batch["output_mask"])[:n]))
             yt, yp, yt_idx, yp_idx = filter_predictions(
                 np.asarray(pred)[:n], np.asarray(batch["label_ids"])[:n],
                 np.asarray(batch["output_mask"])[:n], self.label_list)
@@ -299,5 +304,5 @@ class ICKATrainer:
             for cls in ("PER", "LOC", "ORG", "MISC")}
         return EvalResult(f1=m.f1, precision=m.precision, recall=m.recall,
                           acc=m.acc,
-                          loss=float(np.average(losses, weights=weights)),
+                          loss=nll_sum / max(token_sum, 1.0),
                           report=report, per_class=per_class)
