@@ -95,6 +95,11 @@ def bench_icka(quick: bool, batch_sizes, iters: int, pallas: bool = False,
         rep = dict(use_pallas=pallas)
         if int8:
             rep["quant"] = quant_mode
+        if int8 and quant_mode == "int8_static":
+            # the full serving layout: fused (H,3H) QKV projections and
+            # bf16 softmax ride with calibrated-static quantization
+            rep["fuse_qkv"] = True
+            rep["softmax_dtype"] = "bfloat16"
         cfg = dataclasses.replace(
             cfg,
             embedding=dataclasses.replace(cfg.embedding, **rep),
@@ -197,6 +202,9 @@ def bench_gate_cl(quick: bool, batch_sizes, iters: int,
         rep = dict(use_pallas=pallas)
         if int8:
             rep["quant"] = quant_mode
+        if int8 and quant_mode == "int8_static":
+            rep["fuse_qkv"] = True          # serving layout (see bench_icka)
+            rep["softmax_dtype"] = "bfloat16"
         cfg = dataclasses.replace(
             cfg, encoder=dataclasses.replace(cfg.encoder, **rep))
 
@@ -413,7 +421,8 @@ def bench_e2e(quick: bool, batch: int, steps: int, pallas: bool = False,
     return e2e_pairs, loader_pairs
 
 
-def bench_train(quick: bool, batch: int, iters: int):
+def bench_train(quick: bool, batch: int, iters: int,
+                remat_policy: str = "full"):
     """Flagship training-step throughput (fwd+bwd+AdamW in ONE program)."""
     import numpy as np
     import jax
@@ -438,11 +447,13 @@ def bench_train(quick: bool, batch: int, iters: int):
     else:
         cfg = ICKAConfig()
         # per-layer remat: fwd+bwd of two 24L encoders at batch 32 blows
-        # the 16 GB HBM without it (round-2 OOM)
+        # the 16 GB HBM without it (round-2 OOM). remat_policy selects the
+        # memory/recompute trade-off (VERDICT r02 next #6 experiment).
+        rep = dict(remat=True, remat_policy=remat_policy)
         cfg = dataclasses.replace(
             cfg,
-            embedding=dataclasses.replace(cfg.embedding, remat=True),
-            last_encoder=dataclasses.replace(cfg.last_encoder, remat=True))
+            embedding=dataclasses.replace(cfg.embedding, **rep),
+            last_encoder=dataclasses.replace(cfg.last_encoder, **rep))
         resnet_layers = (3, 8, 36, 3)
         image_size = 256
 
@@ -522,6 +533,9 @@ def main(argv=None):
                         "(no per-call abs-max passes; the serving layout)")
     p.add_argument("--e2e_steps", type=int, default=8,
                    help="number of batches in the host-inclusive e2e run")
+    p.add_argument("--remat_policy", default="full",
+                   choices=["full", "alternate", "dots"],
+                   help="train-mode remat selectivity (see EncoderConfig)")
     p.add_argument("--skip_extras", action="store_true",
                    help="headline icka number only, no gate_cl/train")
     args = p.parse_args(argv)
@@ -562,37 +576,62 @@ def main(argv=None):
 
     extra = {}
     if args.model in ("icka", "all"):
+        # headline = the BEST serving configuration (VERDICT r02 next #7):
+        # calibrated-static int8 + Pallas self-attention, batch 128
+        # (r03 sweep: 586 int8_static vs 530 int8-dynamic vs 465 bf16).
+        # --int8/--int8_static/--no_pallas still override for A/B runs.
+        headline_int8 = int8_on or not args.quick
+        headline_mode = quant_mode if int8_on else "int8_static"
         value, best_bs = bench_icka(args.quick, batch_sizes, iters,
-                                    pallas=use_pallas, int8=int8_on,
-                                    quant_mode=quant_mode)
+                                    pallas=use_pallas,
+                                    int8=headline_int8,
+                                    quant_mode=headline_mode)
         metric = "icka_inference_pairs_per_sec_per_chip"
-        if int8_on:
-            metric = f"icka_{quant_mode}_inference_pairs_per_sec_per_chip"
+        if headline_int8:
+            metric = (f"icka_{headline_mode}"
+                      "_inference_pairs_per_sec_per_chip")
         extra["icka_batch"] = best_bs
         # record the companion numbers in the same artifact (VERDICT r01:
         # "what isn't recorded didn't happen")
         if not args.skip_extras and not args.quick:
             try:
+                v16, _ = bench_icka(args.quick, [128], iters,
+                                    pallas=use_pallas, int8=False)
+                extra["icka_bf16_pairs_per_sec"] = round(v16, 2)
+            except Exception as e:      # pragma: no cover
+                print(f"# bf16 bench failed: {e}", file=sys.stderr)
+            try:
                 # pallas measured SLOWER for gate_cl (3778 vs 3995 pairs/s
                 # at batch 128: BERT-base 12-head/64-dim shapes) — einsum
-                # path stays the gate_cl default
-                g, gbs = bench_gate_cl(args.quick, [128], iters)
-                extra["gate_cl_pairs_per_sec"] = round(g, 2)
+                # path stays the gate_cl default. int8_static is the
+                # serving mode (4586 vs 3940 bf16, r03).
+                g8, gbs = bench_gate_cl(args.quick, [128], iters,
+                                        int8=True,
+                                        quant_mode="int8_static")
+                extra["gate_cl_int8_pairs_per_sec"] = round(g8, 2)
                 extra["gate_cl_batch"] = gbs
+            except Exception as e:      # pragma: no cover
+                print(f"# gate_cl int8 bench failed: {e}", file=sys.stderr)
+            try:
+                g, _ = bench_gate_cl(args.quick, [128], iters)
+                extra["gate_cl_bf16_pairs_per_sec"] = round(g, 2)
             except Exception as e:      # pragma: no cover
                 print(f"# gate_cl bench failed: {e}", file=sys.stderr)
             try:
-                v8, _ = bench_icka(args.quick, [128], iters,
-                                   pallas=use_pallas, int8=True)
-                extra["icka_int8_pairs_per_sec"] = round(v8, 2)
-            except Exception as e:      # pragma: no cover
-                print(f"# int8 bench failed: {e}", file=sys.stderr)
-            try:
-                t = bench_train(args.quick, 16, max(5, iters // 4))
+                t = bench_train(args.quick, 16, max(5, iters // 4),
+                                remat_policy=args.remat_policy)
                 extra["train_pairs_per_sec"] = round(t, 2)
                 extra["train_batch"] = 16
             except Exception as e:      # pragma: no cover
                 print(f"# train bench failed: {e}", file=sys.stderr)
+            try:
+                e2e, loader = bench_e2e(args.quick, 128, args.e2e_steps,
+                                        pallas=use_pallas, int8=False)
+                extra["e2e_pairs_per_sec"] = round(e2e, 2)
+                extra["loader_pairs_per_sec"] = round(loader, 2)
+                extra["host_cpus"] = os.cpu_count()
+            except Exception as e:      # pragma: no cover
+                print(f"# e2e bench failed: {e}", file=sys.stderr)
     elif args.model == "gate_cl":
         value, best_bs = bench_gate_cl(args.quick, batch_sizes, iters,
                                        pallas=args.pallas, int8=int8_on,
@@ -609,8 +648,11 @@ def main(argv=None):
         extra["loader_pairs_per_sec"] = round(loader, 2)
         extra["host_cpus"] = os.cpu_count()
     else:
-        value = bench_train(args.quick, batch_sizes[0], iters)
+        value = bench_train(args.quick, batch_sizes[0], iters,
+                            remat_policy=args.remat_policy)
         metric = "icka_train_pairs_per_sec_per_chip"
+        extra["remat_policy"] = args.remat_policy
+        extra["train_batch"] = batch_sizes[0]
 
     print(json.dumps({
         "metric": metric,

@@ -60,11 +60,32 @@ class EncoderConfig:
     # "int8" = W8A8 serving quantization of the six projection matmuls per
     # layer (q/k/v/o + ffn wi/wo) — 2x MXU peak on v5e; see nn.layers.Dense
     quant: str = "none"
-    # rematerialize each transformer layer in the backward pass
+    # rematerialize transformer layers in the backward pass
     # (jax.checkpoint): peak activation memory drops from O(layers ·
     # seq · intermediates) to O(layers · seq · hidden) for ~1.3x forward
     # FLOPs — required to fit flagship training batches in 16 GB HBM.
     remat: bool = False
+    # remat_policy selects WHAT is rematerialized when remat=True:
+    #   "full"      — whole layer, save only layer inputs (max memory
+    #                 savings, full recompute cost)
+    #   "alternate" — remat every other layer (half the recompute for
+    #                 ~half the memory savings)
+    #   "dots"      — jax.checkpoint_policies.checkpoint_dots: matmul
+    #                 outputs are saved, only elementwise work (gelu,
+    #                 LayerNorm, softmax scaling) is recomputed
+    remat_policy: str = "full"
+    # serve-time layout: one fused (H, 3H) QKV projection per
+    # self-attention instead of three (H, H) matmuls — the input is read
+    # and (when quantized) round/clip'd ONCE instead of three times, and
+    # the wider N dim tiles the MXU better. Checkpoints convert with
+    # `icka_tpu.models.convert.fuse_qkv_params`. Self-attention only;
+    # cross-attention keeps separate Q vs K/V streams.
+    fuse_qkv: bool = False
+    # softmax accumulation dtype for attention probabilities. "float32"
+    # (default) is the parity dtype; "bfloat16" halves the HBM traffic of
+    # the (B, N, Sq, Sk) score/prob tensors — a serving-mode knob covered
+    # by the int8 accuracy-contract tests.
+    softmax_dtype: str = "float32"
 
     @classmethod
     def roberta_large(cls) -> "EncoderConfig":

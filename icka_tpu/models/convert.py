@@ -229,6 +229,46 @@ def static_quantize_params_like(target: dict, fp32: dict,
     return fp32
 
 
+def fuse_qkv_params(target: dict, src: dict) -> dict:
+    """Re-layout an unfused encoder tree into the `fuse_qkv=True` serving
+    layout (one (H, 3H) projection per self-attention).
+
+    `target` is any tree from a model built with
+    `EncoderConfig(fuse_qkv=True)` — it only provides the SHAPE (where the
+    "qkv" modules live); values come from `src`, the matching tree of the
+    unfused model. Works on both param trees (query/key/value kernels and
+    biases concatenate along the output axis) and calibration trees (the
+    three activation amax leaves collapse to their max — all three quantize
+    the SAME input tensor). Run BEFORE `static_quantize_params_like`:
+    fp32 → fuse → quantize.
+    """
+    if not isinstance(src, dict):
+        return src
+    tgt = target if isinstance(target, dict) else {}
+    if ("qkv" in tgt and "query" in src and "key" in src
+            and "value" in src):
+        q, kk, vv = src["query"], src["key"], src["value"]
+        rest = {k: v for k, v in src.items()
+                if k not in ("query", "key", "value")}
+        if "amax" in q:                  # calibration tree
+            fused = {"amax": np.maximum(
+                np.maximum(np.asarray(q["amax"]), np.asarray(kk["amax"])),
+                np.asarray(vv["amax"]))}
+        else:                            # fp32 param tree
+            fused = {
+                "kernel": np.concatenate(
+                    [np.asarray(q["kernel"], np.float32),
+                     np.asarray(kk["kernel"], np.float32),
+                     np.asarray(vv["kernel"], np.float32)], axis=1),
+                "bias": np.concatenate(
+                    [np.asarray(q["bias"], np.float32),
+                     np.asarray(kk["bias"], np.float32),
+                     np.asarray(vv["bias"], np.float32)]),
+            }
+        return {"qkv": fused, **rest}
+    return {k: fuse_qkv_params(tgt.get(k), v) for k, v in src.items()}
+
+
 def static_quantize_backbone(target_vars: dict, fp32_vars: dict,
                              calib: dict) -> dict:
     """fp32 `VisualBackbone` variables → STATIC int8 serving variables.

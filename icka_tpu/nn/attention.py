@@ -44,21 +44,24 @@ def _merge_heads(x):
 def dot_product_attention(q, k, v, bias=None, dtype=jnp.float32,
                           dropout_rng=None, dropout_rate=0.0,
                           deterministic=True, scale=None, tau=1.0,
-                          neg_type=False, prior=None):
+                          neg_type=False, prior=None,
+                          softmax_dtype=jnp.float32):
     """Multi-head attention core. q,k,v: (B, S, N, H). bias broadcastable to
-    (B, N, Sq, Sk). fp32 softmax regardless of compute dtype."""
+    (B, N, Sq, Sk). fp32 softmax by default regardless of compute dtype;
+    `softmax_dtype=bfloat16` is the serving-mode bandwidth knob (the score
+    max-subtraction inside softmax keeps bf16 numerically safe)."""
     N, H = q.shape[-2], q.shape[-1]
     scale = (H ** -0.5) if scale is None else scale
     scores = jnp.einsum("bqnh,bknh->bnqk", q, k,
-                        preferred_element_type=jnp.float32,
+                        preferred_element_type=softmax_dtype,
                         precision=matmul_precision(dtype)) * scale
     if bias is not None:
-        scores = scores + bias.astype(jnp.float32)
+        scores = scores + bias.astype(softmax_dtype)
     probs = nn.softmax(scores / tau, axis=-1)
     if neg_type:
         probs = 1.0 - probs
     if prior is not None:
-        probs = probs + prior.astype(jnp.float32)
+        probs = probs + prior.astype(probs.dtype)
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
                                     probs.shape)
@@ -84,17 +87,26 @@ class MultiHeadAttention(nn.Module):
     dropout_rate: float = 0.1
     use_pallas: bool = False
     quant: str = "none"
+    fuse_qkv: bool = False
+    softmax_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, kv=None, bias=None, deterministic=True):
+        self_attn = kv is None
         kv = x if kv is None else kv
         d = x.shape[-1]
-        q = Dense(d, dtype=self.dtype, name="query", quant=self.quant,
-                  kernel_axes=("embed", "heads"))(x)
-        k = Dense(d, dtype=self.dtype, name="key", quant=self.quant,
-                  kernel_axes=("embed", "heads"))(kv)
-        v = Dense(d, dtype=self.dtype, name="value", quant=self.quant,
-                  kernel_axes=("embed", "heads"))(kv)
+        if self.fuse_qkv and self_attn:
+            qkv = Dense(3 * d, dtype=self.dtype, name="qkv",
+                        quant=self.quant,
+                        kernel_axes=("embed", "heads"))(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = Dense(d, dtype=self.dtype, name="query", quant=self.quant,
+                      kernel_axes=("embed", "heads"))(x)
+            k = Dense(d, dtype=self.dtype, name="key", quant=self.quant,
+                      kernel_axes=("embed", "heads"))(kv)
+            v = Dense(d, dtype=self.dtype, name="value", quant=self.quant,
+                      kernel_axes=("embed", "heads"))(kv)
         if self.use_pallas and (deterministic or self.dropout_rate == 0.0):
             import jax as _jax
             from icka_tpu.kernels.attention import fused_attention
@@ -111,7 +123,8 @@ class MultiHeadAttention(nn.Module):
                else self.make_rng("dropout"))
         ctx = dot_product_attention(
             q, k, v, bias=bias, dtype=self.dtype, dropout_rng=rng,
-            dropout_rate=self.dropout_rate, deterministic=deterministic)
+            dropout_rate=self.dropout_rate, deterministic=deterministic,
+            softmax_dtype=self.softmax_dtype)
         return _merge_heads(ctx)
 
 
@@ -166,7 +179,9 @@ class SelfAttentionLayer(nn.Module):
     @nn.compact
     def __call__(self, x, bias=None, deterministic=True, history=None,
                  history_bias=None):
-        kv = x
+        # kv=None signals pure self-attention to MultiHeadAttention, which
+        # may then fuse the Q/K/V projections into one matmul
+        kv = None
         if history is not None:
             kv = jnp.concatenate([history.astype(x.dtype), x], axis=1)
             if bias is None:
@@ -183,6 +198,8 @@ class SelfAttentionLayer(nn.Module):
             self.cfg.num_attention_heads, dtype=self.dtype,
             dropout_rate=self.cfg.attention_probs_dropout_prob,
             use_pallas=self.cfg.use_pallas, quant=self.cfg.quant,
+            fuse_qkv=self.cfg.fuse_qkv,
+            softmax_dtype=jnp.dtype(self.cfg.softmax_dtype),
             name="attn")(x, kv=kv, bias=bias, deterministic=deterministic)
         x = AttentionOutput(self.cfg.layer_norm_eps, dtype=self.dtype,
                             dropout_rate=self.cfg.hidden_dropout_prob,
@@ -210,6 +227,7 @@ class CrossAttentionLayer(nn.Module):
             # XLA einsum path (tools/bench_pallas.py: pallas 1.12x slower),
             # so use_pallas only routes the self-attention stacks.
             use_pallas=False, quant=self.cfg.quant,
+            softmax_dtype=jnp.dtype(self.cfg.softmax_dtype),
             name="attn")(x, kv=kv, bias=bias, deterministic=deterministic)
         x = AttentionOutput(self.cfg.layer_norm_eps, dtype=self.dtype,
                             dropout_rate=self.cfg.hidden_dropout_prob,
@@ -244,13 +262,20 @@ class Encoder(nn.Module):
             # deterministic is a python bool -> static. nn.remat's
             # static_argnums count the module itself as arg 0, so
             # (x=1, bias=2, deterministic=3).
+            policy = None
+            if self.cfg.remat_policy == "dots":
+                policy = jax.checkpoint_policies.checkpoint_dots
             layer_cls = nn.remat(SelfAttentionLayer, static_argnums=(3,),
-                                 prevent_cse=False)
+                                 prevent_cse=False, policy=policy)
         for i in range(n):
+            cls_i = layer_cls
+            if self.cfg.remat and self.cfg.remat_policy == "alternate" \
+                    and i % 2 == 1:
+                cls_i = SelfAttentionLayer
             hist = (history_states[i]
                     if history_states is not None else None)
-            x = layer_cls(self.cfg, dtype=self.dtype,
-                          name=f"layer_{i}")(
+            x = cls_i(self.cfg, dtype=self.dtype,
+                      name=f"layer_{i}")(
                 x, bias, deterministic, hist, hbias)
         return x
 

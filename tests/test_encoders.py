@@ -203,3 +203,35 @@ def test_int8_encoder_close_to_fp32(rng):
     leaves = jax.tree_util.tree_leaves_with_path(qparams)
     n_int8 = sum(1 for p, l in leaves if l.dtype == np.int8)
     assert n_int8 == cfg.num_hidden_layers * 6
+
+
+def test_remat_policies_preserve_semantics(rng):
+    """remat is a memory/recompute trade-off, never a numerics change:
+    every policy must produce identical outputs AND gradients to the
+    plain encoder (fp32, CPU-exact)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from icka_tpu.nn.attention import Encoder
+
+    cfg = EncoderConfig(**TINY, hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0)
+    x = rng.standard_normal((2, 6, cfg.hidden_size)).astype(np.float32)
+    enc = Encoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    def loss(p, model):
+        return jnp.sum(model.apply(p, jnp.asarray(x)) ** 2)
+
+    want = loss(params, enc)
+    want_g = jax.grad(loss)(params, enc)
+    for policy in ("full", "alternate", "dots"):
+        rcfg = dataclasses.replace(cfg, remat=True, remat_policy=policy)
+        renc = Encoder(rcfg)
+        got = loss(params, renc)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+        got_g = jax.grad(loss)(params, renc)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5),
+            want_g, got_g)

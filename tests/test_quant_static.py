@@ -235,3 +235,84 @@ def test_int8_gate_cl_close_to_fp32(rng):
     tags_fp = np.asarray(fp.apply(params, *args))
     tags_st = np.asarray(stat.apply(st_params, *args))
     assert (tags_fp == tags_st).mean() > 0.9
+
+
+def test_fused_qkv_fp32_exact(rng):
+    """fuse_qkv=True is a pure re-layout: converting an unfused fp32 tree
+    with `fuse_qkv_params` must reproduce the unfused outputs exactly."""
+    from icka_tpu.models.convert import fuse_qkv_params
+    from icka_tpu.nn.bert import TextEncoder
+
+    cfg = EncoderConfig(**TINY)
+    ids = rng.integers(2, cfg.vocab_size, (4, 12)).astype(np.int32)
+    mask = np.ones((4, 12), np.int32)
+
+    fp = TextEncoder(cfg, with_pooler=False)
+    params = fp.init(jax.random.PRNGKey(3), ids, mask)
+    want, _ = fp.apply(params, ids, mask)
+
+    fused = TextEncoder(dataclasses.replace(cfg, fuse_qkv=True),
+                        with_pooler=False)
+    f_init = fused.init(jax.random.PRNGKey(3), ids, mask)
+    f_params = {"params": fuse_qkv_params(f_init["params"],
+                                          params["params"])}
+    got, _ = fused.apply(f_params, ids, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+
+
+def test_fused_qkv_int8_static_serving_stack(rng):
+    """The full serving conversion: fp32 → calibrate (dynamic int8,
+    unfused) → fuse (params + calib) → static quantize → fused int8_static
+    forward stays close to fp32."""
+    from icka_tpu.models.convert import fuse_qkv_params
+    from icka_tpu.nn.bert import TextEncoder
+
+    cfg = EncoderConfig(**TINY)
+    ids = rng.integers(2, cfg.vocab_size, (4, 12)).astype(np.int32)
+    mask = np.ones((4, 12), np.int32)
+
+    fp = TextEncoder(cfg, with_pooler=False)
+    params = fp.init(jax.random.PRNGKey(3), ids, mask)
+    want, _ = fp.apply(params, ids, mask)
+
+    dyn = TextEncoder(dataclasses.replace(cfg, quant="int8"),
+                      with_pooler=False)
+    dyn_init = dyn.init(jax.random.PRNGKey(3), ids, mask)
+    dyn_params = quantize_params_like(dyn_init["params"], params["params"])
+    _, st = dyn.apply({"params": dyn_params}, ids, mask, mutable=["calib"])
+    calib = st["calib"]
+
+    stat = TextEncoder(dataclasses.replace(cfg, quant="int8_static",
+                                           fuse_qkv=True),
+                       with_pooler=False)
+    st_init = stat.init(jax.random.PRNGKey(3), ids, mask)
+    fused_fp32 = fuse_qkv_params(st_init["params"], params["params"])
+    fused_calib = fuse_qkv_params(st_init["params"], calib)
+    st_params = {"params": static_quantize_params_like(
+        st_init["params"], fused_fp32, fused_calib)}
+    got, _ = stat.apply(st_params, ids, mask)
+    assert _cos_min(want, got) > 0.99, _cos_min(want, got)
+    # the fused layout really has ONE projection per layer (4 act scales:
+    # qkv, attn out, ffn wi, ffn wo)
+    leaves = jax.tree_util.tree_leaves_with_path(st_params)
+    scales = [l for p, l in leaves if "act_scale" in str(p)]
+    assert len(scales) == cfg.num_hidden_layers * 4
+
+
+def test_bf16_softmax_close_to_fp32(rng):
+    """softmax_dtype="bfloat16" (serving bandwidth knob) must stay within
+    the serving accuracy contract of the fp32-softmax encoder."""
+    from icka_tpu.nn.bert import TextEncoder
+
+    cfg = EncoderConfig(**TINY)
+    ids = rng.integers(2, cfg.vocab_size, (4, 12)).astype(np.int32)
+    mask = np.ones((4, 12), np.int32)
+    fp = TextEncoder(cfg, with_pooler=False)
+    params = fp.init(jax.random.PRNGKey(3), ids, mask)
+    want, _ = fp.apply(params, ids, mask)
+
+    soft = TextEncoder(dataclasses.replace(cfg, softmax_dtype="bfloat16"),
+                       with_pooler=False)
+    got, _ = soft.apply(params, ids, mask)
+    assert _cos_min(want, got) > 0.999, _cos_min(want, got)

@@ -82,6 +82,10 @@ def main():
                         "compile service dies on 24-layer fori_loop "
                         "programs, so measure a slice and scale by "
                         "24/enc_layers (per-layer cost is uniform)")
+    p.add_argument("--int8", action="store_true",
+                   help="profile the int8_static serving layout (encoder "
+                        "projections + ResNet conv contractions W8A8, "
+                        "calibrated activation scales)")
     args = p.parse_args()
     _enable_cache()
 
@@ -95,6 +99,13 @@ def main():
 
     import dataclasses
     cfg = ICKAConfig()
+    if args.int8:
+        cfg = dataclasses.replace(
+            cfg,
+            embedding=dataclasses.replace(cfg.embedding,
+                                          quant="int8_static"),
+            last_encoder=dataclasses.replace(cfg.last_encoder,
+                                             quant="int8_static"))
     enc_cfg = dataclasses.replace(cfg.embedding,
                                   num_hidden_layers=args.enc_layers)
     enc_scale = cfg.embedding.num_hidden_layers / args.enc_layers
@@ -111,9 +122,11 @@ def main():
 
     results = {}
 
+    peak = 201e12 if args.int8 else V5E_PEAK_BF16  # measured int8 peak
+
     def report(name, secs, flops_per_pair):
         pairs = B / secs
-        util = flops_per_pair * pairs / V5E_PEAK_BF16
+        util = flops_per_pair * pairs / peak
         results[name] = secs
         print(f"{name:8s}: {secs * 1e3:7.2f} ms/step  {pairs:8.1f} pairs/s"
               f"  {flops_per_pair / 1e9:6.1f} GFLOP/pair"
@@ -133,7 +146,8 @@ def main():
     FL_LSTM = 2 * 2 * 2 * L * HID * 4 * HID
 
     if "resnet" in want:
-        bb = VisualBackbone(layers=(3, 8, 36, 3), dtype=dtype)
+        bb = VisualBackbone(layers=(3, 8, 36, 3), dtype=dtype,
+                            quant="int8_static" if args.int8 else "none")
         bv = bb.init(key, jnp.zeros((1, 224, 224, 3), dtype))
         imgs = jax.device_put(rng.integers(0, 255, (B, 256, 256, 3))
                               .astype(np.uint8))
@@ -196,7 +210,8 @@ def main():
         report("fusion5", t, FL_FUSION)
 
     if "lstm" in want:
-        lstm = BiLSTM(hidden=HID, dtype=dtype)
+        lstm = BiLSTM(hidden=HID, dtype=dtype,
+                      quant="int8_static" if args.int8 else "none")
         x = jnp.asarray(rng.standard_normal((B, L, HID)), dtype)
         lv = lstm.init(key, x)
 
