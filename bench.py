@@ -29,10 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_PAIRS_PER_SEC = 5000.0
 
 
-def _batch(cfg, B, offset, rng, image_size=256):
+def _batch(cfg, B, offset, rng, image_size=256, seq_len=None):
     import numpy as np
 
-    L = cfg.max_seq_length
+    L = seq_len or cfg.max_seq_length
     Lp = offset + L
     vocab = cfg.embedding.vocab_size
     return {
@@ -175,6 +175,114 @@ def bench_icka(quick: bool, batch_sizes, iters: int, pallas: bool = False,
     return best, best_bs
 
 
+def bench_icka_bucketed(quick: bool, iters: int,
+                        quant_mode: str = "int8_static"):
+    """Length-bucketed flagship serving (icka_tpu.serving rationale): both
+    RoBERTa stacks scale with token count (~167 of the 215 GFLOP/pair),
+    while ResNet-152 is the per-pair floor. Buckets share one parameter
+    tree (the flagship is length-stable); weighting follows
+    `sample_tweet_lengths` — see bench_gate_cl_bucketed."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from icka_tpu.core.config import EncoderConfig, ICKAConfig
+    from icka_tpu.data.images import preprocess_images
+    from icka_tpu.models.icka import ICKAModel
+    from icka_tpu.models.resnet import VisualBackbone
+    from icka_tpu.serving.bucketed import pick_bucket, sample_tweet_lengths
+
+    if quick:
+        enc = EncoderConfig(vocab_size=1024, hidden_size=256,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            intermediate_size=512)
+        cfg = ICKAConfig(embedding=enc, last_encoder=enc, layer_num1=2,
+                         clip_dim=128, prompt_hidden=128, last_hidden=256,
+                         max_seq_length=64)
+        resnet_layers, image_size = (1, 1, 1, 1), 64
+        buckets, batch = (32, 64), 8
+    else:
+        cfg = ICKAConfig()
+        resnet_layers, image_size = (3, 8, 36, 3), 256
+        buckets, batch = (32, 64, 128), 128
+    rep = dict(use_pallas=jax.default_backend() == "tpu",
+               quant=quant_mode, fuse_qkv=True, softmax_dtype="bfloat16")
+    cfg = dataclasses.replace(
+        cfg,
+        embedding=dataclasses.replace(cfg.embedding, **rep),
+        last_encoder=dataclasses.replace(cfg.last_encoder, **rep))
+
+    dtype = jnp.bfloat16
+    model = ICKAModel(cfg, dtype=dtype)
+    backbone = VisualBackbone(layers=resnet_layers, dtype=dtype,
+                              quant=quant_mode)
+    offset, mask_positions = 14, (3, 11)
+    rng = np.random.default_rng(0)
+
+    init_b = _batch(cfg, 2, offset, rng, image_size)
+    init_b.pop("images")
+    init_b["visual_mean"] = np.zeros((2, cfg.region_dim), np.float32)
+    init_b["visual_grid"] = np.zeros((2, 7, 7, cfg.region_dim), np.float32)
+    params = model.init(jax.random.PRNGKey(0), init_b, mask_positions,
+                        offset, mode="test")
+    crop = min(224, image_size)
+    bvars = backbone.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, crop, crop, 3), dtype))
+
+    def infer(params, bvars, batch, prev):
+        dep = jnp.where(jnp.sum(prev) > jnp.int32(2 ** 30), 1.0, 0.0)
+        idep = dep.astype(jnp.int32)
+        pixels = preprocess_images(batch["images"],
+                                   jax.random.PRNGKey(0),
+                                   crop_size=crop, train=False)
+        pooled, mean, att = backbone.apply(bvars,
+                                           (pixels + dep).astype(dtype))
+        mb = {k: v for k, v in batch.items() if k != "images"}
+        mb["ori_input_ids"] = batch["ori_input_ids"] + idep
+        mb["input_ids"] = batch["input_ids"] + idep
+        mb["visual_mean"] = mean.astype(jnp.float32)
+        mb["visual_grid"] = att
+        return model.apply(params, mb, mask_positions, offset, mode="test")
+
+    @partial(jax.jit, static_argnames=("n",))
+    def infer_loop(params, bvars, batch, prev, n):
+        return jax.lax.fori_loop(
+            0, n, lambda i, p: infer(params, bvars, batch, p), prev)
+
+    lens = sample_tweet_lengths(100_000, np.random.default_rng(11),
+                                max_len=buckets[-1])
+    share = {b: 0.0 for b in buckets}
+    for ln in lens:
+        share[pick_bucket(int(ln), buckets)] += 1.0 / len(lens)
+
+    step_time = {}
+    for L in buckets:
+        b = jax.device_put(_batch(cfg, batch, offset, rng, image_size,
+                                  seq_len=L))
+        prev = jnp.zeros((batch, L), jnp.int32)
+        out = infer_loop(params, bvars, b, prev, iters)
+        np.asarray(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = infer_loop(params, bvars, b, out, iters)
+            np.asarray(out)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        step_time[L] = best
+        print(f"# icka bucket L={L}: {batch / best:.1f} pairs/s "
+              f"({best * 1e3:.1f} ms/step, share {share[L]:.3f})",
+              file=sys.stderr)
+
+    weighted = batch / sum(share[b] * step_time[b] for b in buckets)
+    detail = {f"L{b}": round(batch / step_time[b], 1) for b in buckets}
+    detail["shares"] = {f"L{b}": round(share[b], 4) for b in buckets}
+    print(f"# icka bucketed weighted: {weighted:.1f} pairs/s "
+          f"(buckets {buckets}, batch {batch})", file=sys.stderr)
+    return weighted, detail
+
+
 def bench_gate_cl(quick: bool, batch_sizes, iters: int,
                   pallas: bool = False, int8: bool = False,
                   quant_mode: str = "int8"):
@@ -263,6 +371,114 @@ def bench_gate_cl(quick: bool, batch_sizes, iters: int,
         if pairs > best:
             best, best_bs = pairs, B
     return best, best_bs
+
+
+def bench_gate_cl_bucketed(quick: bool, iters: int,
+                           int8: bool = True,
+                           quant_mode: str = "int8_static"):
+    """Length-bucketed gate_cl serving throughput (icka_tpu.serving).
+
+    The reference pads every tweet to max_seq_length=128
+    (`My_cross_attention.py:375-427`); real tweets average ~17 tokens. The
+    bucketed engine compiles one program per length bucket and routes each
+    request to the smallest bucket that fits. This measures per-bucket
+    device step time at the serving batch, then weights by the bucket
+    shares of the documented synthetic tweet-length distribution
+    (`sample_tweet_lengths`: clipped lognormal, p50≈24 subtokens) —
+    throughput = batch / Σ share_b · t_b. The fixed-128 number stays the
+    reference-layout headline; this is the serving-engine number."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from icka_tpu.core.config import EncoderConfig, GateCLConfig
+    from icka_tpu.models.gate_cl import GateCLModel
+    from icka_tpu.serving.bucketed import pick_bucket, sample_tweet_lengths
+
+    if quick:
+        enc = EncoderConfig(vocab_size=1024, hidden_size=128,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            intermediate_size=256, position_offset=0,
+                            pad_token_id=0, layer_norm_eps=1e-12)
+        cfg = GateCLConfig(encoder=enc, region_dim=64, max_seq_length=32)
+        buckets, batch = (16, 32), 8
+    else:
+        cfg = GateCLConfig()
+        buckets, batch = (32, 64, 128), 128
+    rep = {}
+    if int8:
+        rep = dict(quant=quant_mode)
+        if quant_mode == "int8_static":
+            rep["fuse_qkv"] = True          # serving layout (see bench_icka)
+            rep["softmax_dtype"] = "bfloat16"
+    if rep:
+        cfg = dataclasses.replace(
+            cfg, encoder=dataclasses.replace(cfg.encoder, **rep))
+
+    model = GateCLModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+
+    def make(B, L):
+        return (
+            rng.integers(2, cfg.encoder.vocab_size, (B, L))
+            .astype(np.int32),
+            np.zeros((B, L), np.int32),
+            np.ones((B, L), np.int32),
+            np.ones((B, cfg.num_regions), np.int32),
+            rng.standard_normal((B, cfg.region_dim)).astype(np.float32),
+            rng.standard_normal((B, 7, 7, cfg.region_dim))
+            .astype(np.float32),
+        )
+
+    # params are init'd ONCE at the largest bucket (= max_seq_length) and
+    # reused for every bucket: GateCLModel keeps parameter shapes
+    # independent of the padded length (crs input padded to max_seq_length)
+    params = model.init(jax.random.PRNGKey(0), *make(2, buckets[-1]))
+
+    def infer(p, ids, seg, mask, imask, vmean, vgrid, prev):
+        dep = jnp.where(jnp.sum(prev) > jnp.int32(2 ** 30), 1.0, 0.0)
+        return model.apply(p, ids + dep.astype(jnp.int32), seg, mask,
+                           imask, vmean + dep, vgrid + dep)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def infer_loop(p, ids, seg, mask, imask, vmean, vgrid, prev, n):
+        return jax.lax.fori_loop(
+            0, n,
+            lambda i, pr: infer(p, ids, seg, mask, imask, vmean, vgrid, pr),
+            prev)
+
+    # bucket shares of the documented length distribution
+    lens = sample_tweet_lengths(100_000, np.random.default_rng(11),
+                                max_len=buckets[-1])
+    share = {b: 0.0 for b in buckets}
+    for ln in lens:
+        share[pick_bucket(int(ln), buckets)] += 1.0 / len(lens)
+
+    step_time = {}
+    for L in buckets:
+        a = jax.device_put(make(batch, L))
+        prev = jnp.zeros((batch, L), jnp.int32)
+        out = infer_loop(params, *a, prev, iters)
+        np.asarray(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = infer_loop(params, *a, out, iters)
+            np.asarray(out)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        step_time[L] = best
+        print(f"# gate_cl bucket L={L}: {batch / best:.1f} pairs/s "
+              f"({best * 1e3:.2f} ms/step, share {share[L]:.3f})",
+              file=sys.stderr)
+
+    weighted = batch / sum(share[b] * step_time[b] for b in buckets)
+    detail = {f"L{b}": round(batch / step_time[b], 1) for b in buckets}
+    detail["shares"] = {f"L{b}": round(share[b], 4) for b in buckets}
+    print(f"# gate_cl bucketed weighted: {weighted:.1f} pairs/s "
+          f"(buckets {buckets}, batch {batch})", file=sys.stderr)
+    return weighted, detail
 
 
 def _ensure_jpeg_dir(path: str, n_imgs: int, size: int) -> None:
@@ -516,7 +732,8 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--model", default="icka",
-                   choices=["icka", "gate_cl", "train", "e2e", "all"])
+                   choices=["icka", "icka_bucketed", "gate_cl",
+                            "gate_cl_bucketed", "train", "e2e", "all"])
     p.add_argument("--batch_sizes", default=None,
                    help="comma-separated batch sizes to sweep")
     p.add_argument("--iters", type=int, default=None)
@@ -618,6 +835,23 @@ def main(argv=None):
             except Exception as e:      # pragma: no cover
                 print(f"# gate_cl bench failed: {e}", file=sys.stderr)
             try:
+                # length-bucketed serving engine (icka_tpu.serving): the
+                # production-serving number on the documented tweet-length
+                # distribution; the fixed-128 numbers above stay the
+                # reference-layout comparison.
+                gb, gdetail = bench_gate_cl_bucketed(args.quick, iters)
+                extra["gate_cl_bucketed_pairs_per_sec"] = round(gb, 2)
+                extra["gate_cl_bucket_detail"] = gdetail
+            except Exception as e:      # pragma: no cover
+                print(f"# gate_cl bucketed bench failed: {e}",
+                      file=sys.stderr)
+            try:
+                ib, idetail = bench_icka_bucketed(args.quick, iters)
+                extra["icka_bucketed_pairs_per_sec"] = round(ib, 2)
+                extra["icka_bucket_detail"] = idetail
+            except Exception as e:      # pragma: no cover
+                print(f"# icka bucketed bench failed: {e}", file=sys.stderr)
+            try:
                 t = bench_train(args.quick, 16, max(5, iters // 4),
                                 remat_policy=args.remat_policy)
                 extra["train_pairs_per_sec"] = round(t, 2)
@@ -640,6 +874,19 @@ def main(argv=None):
         if int8_on:
             metric = (f"gate_cl_{quant_mode}"
                       "_inference_pairs_per_sec_per_chip")
+    elif args.model == "icka_bucketed":
+        value, detail = bench_icka_bucketed(
+            args.quick, iters,
+            quant_mode=quant_mode if int8_on else "int8_static")
+        metric = "icka_bucketed_serving_pairs_per_sec_per_chip"
+        extra["bucket_detail"] = detail
+    elif args.model == "gate_cl_bucketed":
+        value, detail = bench_gate_cl_bucketed(args.quick, iters,
+                                               int8=int8_on or not args.quick,
+                                               quant_mode=quant_mode
+                                               if int8_on else "int8_static")
+        metric = "gate_cl_bucketed_serving_pairs_per_sec_per_chip"
+        extra["bucket_detail"] = detail
     elif args.model == "e2e":
         value, loader = bench_e2e(args.quick, batch_sizes[0],
                                   args.e2e_steps, pallas=use_pallas,

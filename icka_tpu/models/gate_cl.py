@@ -124,8 +124,19 @@ class GateCLModel(nn.Module):
             else:
                 cross_used = cross
                 labels_crs = None
-            crs_logits = self.crs_classifier(
-                jnp.concatenate([seq, cross_used], axis=-1).reshape(B, -1))
+            # The relation classifier flattens (L, 2H) positions into one
+            # feature vector (`crs_classifier` = Linear(2H*128, 2),
+            # gate_cl_modeling.py:1258). Pad the position axis to
+            # max_seq_length so the weight shape is independent of the
+            # padded batch length — a no-op at L = max_seq_length, and the
+            # enabler for length-bucketed serving (icka_tpu.serving):
+            # missing positions contribute exactly 0, like all-zero rows.
+            crs_in = jnp.concatenate([seq, cross_used], axis=-1)
+            L = crs_in.shape[1]
+            if L < cfg.max_seq_length:
+                crs_in = jnp.pad(
+                    crs_in, ((0, 0), (0, cfg.max_seq_length - L), (0, 0)))
+            crs_logits = self.crs_classifier(crs_in.reshape(B, -1))
             P = nn.softmax(crs_logits, axis=-1)[:, -1]
             cross_used = P[:, None, None] * cross_used
             gate = nn.sigmoid(self.gate_text(seq)

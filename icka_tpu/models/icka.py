@@ -161,9 +161,12 @@ class ICKAModel(nn.Module):
                                    prefix, prompt_mask, mask_positions,
                                    deterministic=deterministic)
         # output layout: L − 2 + 2P; the sentence starts at
-        # offset − 2 + 2P (:1020-1024)
+        # offset − 2 + 2P (:1020-1024). The sentence-region length is
+        # derived from the input shape (== cfg.max_seq_length in the
+        # reference layout; shorter under length-bucketed serving).
         tok_start = offset - 2 + 2 * cfg.prompt_len
-        token_embedding = out[:, tok_start:tok_start + cfg.max_seq_length, :]
+        sent_len = input_ids.shape[1] - offset
+        token_embedding = out[:, tok_start:tok_start + sent_len, :]
 
         # 6. relevance gate
         if cfg.use_gate:

@@ -1,0 +1,198 @@
+"""Length-bucketed serving engine.
+
+The reference driver pads EVERY sentence to ``max_seq_length`` = 128
+(`My_cross_attention.py:375-427`) and pays the full 128-token encoder cost
+for every pair, although Twitter-2015/2017 tweets average ~17 tokens. On
+GPU/PyTorch with dynamic shapes that padding is a convenience; under XLA it
+is a compiled-in 4-8x FLOP tax.
+
+TPU-first answer: XLA needs *static* shapes per program, but nothing forces
+ONE program. This engine compiles the model once per length bucket (e.g.
+32/64/128), routes each request to the smallest bucket that fits, and packs
+bucket queues into fixed-size batches. Short tweets then run through a
+32-token encoder instead of a 128-token one.
+
+Exactness contract (tested in tests/test_serving.py):
+
+  - Encoder/fusion outputs at VALID token positions are exactly the values
+    the 128-padded model produces — additive `-10000` key masks make padding
+    keys invisible, and padding QUERIES only affect padding outputs, which
+    the CRF decode masks out. For the "ip"/"cl" gate_cl variants bucketed
+    decode is therefore bit-identical to 128-padded decode.
+  - The "gate_cl" variant's relation gate flattens all 128 positions —
+    including padding-position activations — into one feature vector
+    (`gate_cl_modeling.py:1258`; a padding-artifact quirk of the reference).
+    Bucketed serving zero-fills the missing positions instead (see
+    `GateCLModel`), which shifts the scalar relevance gate P slightly; the
+    decoded-tag agreement contract for this variant is asserted
+    statistically (>99% tag agreement on random inputs) rather than bitwise.
+
+Throughput accounting for benchmarks lives in bench.py (per-bucket chained
+device timing, weighted by the bucket shares of the length distribution).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def pick_bucket(length: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= length; sequences longer than the largest bucket
+    are truncated to it (the reference truncates to max_seq_length too,
+    `My_cross_attention.py:311-315`)."""
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclasses.dataclass
+class ServingStats:
+    """Per-request accounting: how many pairs ran in each bucket and how
+    many device batches were dispatched."""
+
+    pairs_per_bucket: dict
+    batches_per_bucket: dict
+
+    @property
+    def total_pairs(self) -> int:
+        return sum(self.pairs_per_bucket.values())
+
+
+class BucketedGateCLServer:
+    """Bucketed inference for the gate_cl/cl/ip model family.
+
+    Parameters
+    ----------
+    model: a `GateCLModel` (flax module) built at max_seq_length = the
+        largest bucket.
+    params: model variables (fp32, int8 or int8_static trees all work —
+        `GateCLModel` keeps its parameter shapes independent of the padded
+        sequence length).
+    buckets: ascending padded lengths to compile. The largest must equal
+        `model.cfg.max_seq_length` (that bucket IS the reference layout).
+    max_batch: rows per device batch; partial batches are padded with
+        duplicated rows whose outputs are dropped.
+    """
+
+    def __init__(self, model, params, buckets: Sequence[int] = (32, 64, 128),
+                 max_batch: int = 128):
+        buckets = tuple(sorted(buckets))
+        if buckets[-1] != model.cfg.max_seq_length:
+            raise ValueError(
+                f"largest bucket {buckets[-1]} must equal "
+                f"max_seq_length {model.cfg.max_seq_length}")
+        self.model = model
+        self.params = params
+        self.buckets = buckets
+        self.max_batch = max_batch
+        self._fns: dict[int, Callable] = {}
+
+    def _apply_fn(self, bucket: int) -> Callable:
+        if bucket not in self._fns:
+            model = self.model
+
+            @jax.jit
+            def fn(params, input_ids, segment_ids, input_mask, img_mask,
+                   visual_mean, visual_grid):
+                return model.apply(params, input_ids, segment_ids,
+                                   input_mask, img_mask, visual_mean,
+                                   visual_grid)
+
+            self._fns[bucket] = fn
+        return self._fns[bucket]
+
+    def warmup(self) -> None:
+        """Compile every bucket's program up front (serving should not pay
+        compile latency on the first real request)."""
+        cfg = self.model.cfg
+        for b in self.buckets:
+            ids = np.full((self.max_batch, b), cfg.encoder.pad_token_id,
+                          np.int32)
+            ids[:, 0] = 0
+            seg = np.zeros((self.max_batch, b), np.int32)
+            mask = np.zeros((self.max_batch, b), np.int32)
+            mask[:, 0] = 1
+            imask = np.ones((self.max_batch, cfg.num_regions), np.int32)
+            vm = np.zeros((self.max_batch, cfg.region_dim), np.float32)
+            vg = np.zeros((self.max_batch, 7, 7, cfg.region_dim), np.float32)
+            jax.block_until_ready(self._apply_fn(b)(
+                self.params, ids, seg, mask, imask, vm, vg))
+
+    def predict(self, examples: Sequence[dict]):
+        """examples: dicts with variable-length 1-D `input_ids` (+ optional
+        `segment_ids`) and per-example `visual_mean` (R,), `visual_grid`
+        (7, 7, R), optional `img_mask` (49,).
+
+        Returns (tags, stats): `tags[i]` is a 1-D int32 array of decoded
+        labels with the example's true (possibly truncated) length.
+        """
+        cfg = self.model.cfg
+        pad_id = cfg.encoder.pad_token_id
+        order: dict[int, list[int]] = {b: [] for b in self.buckets}
+        for i, ex in enumerate(examples):
+            L = min(len(ex["input_ids"]), self.buckets[-1])
+            order[pick_bucket(L, self.buckets)].append(i)
+
+        results: list = [None] * len(examples)
+        pairs: dict[int, int] = {}
+        batches: dict[int, int] = {}
+        for b, idxs in order.items():
+            if not idxs:
+                continue
+            pairs[b] = len(idxs)
+            batches[b] = 0
+            fn = self._apply_fn(b)
+            for lo in range(0, len(idxs), self.max_batch):
+                chunk = idxs[lo:lo + self.max_batch]
+                n = len(chunk)
+                rows = chunk + [chunk[0]] * (self.max_batch - n)
+                ids = np.full((self.max_batch, b), pad_id, np.int32)
+                seg = np.zeros((self.max_batch, b), np.int32)
+                mask = np.zeros((self.max_batch, b), np.int32)
+                imask = np.ones((self.max_batch, cfg.num_regions), np.int32)
+                vm = np.zeros((self.max_batch, cfg.region_dim), np.float32)
+                vg = np.zeros((self.max_batch, 7, 7, cfg.region_dim),
+                              np.float32)
+                lens = []
+                for r, i in enumerate(rows):
+                    ex = examples[i]
+                    L = min(len(ex["input_ids"]), b)
+                    lens.append(L)
+                    ids[r, :L] = np.asarray(ex["input_ids"][:L], np.int32)
+                    if "segment_ids" in ex:
+                        seg[r, :L] = np.asarray(
+                            ex["segment_ids"][:L], np.int32)
+                    mask[r, :L] = 1
+                    if "img_mask" in ex:
+                        imask[r] = np.asarray(ex["img_mask"], np.int32)
+                    vm[r] = np.asarray(ex["visual_mean"], np.float32)
+                    vg[r] = np.asarray(ex["visual_grid"], np.float32)
+                tags = np.asarray(fn(self.params, ids, seg, mask, imask,
+                                     vm, vg))
+                batches[b] += 1
+                for r in range(n):
+                    results[chunk[r]] = tags[r, :lens[r]].astype(np.int32)
+        return results, ServingStats(pairs, batches)
+
+
+def sample_tweet_lengths(n: int, rng: np.random.Generator,
+                         max_len: int = 128) -> np.ndarray:
+    """Synthetic stand-in for the Twitter-2015 subtoken-length distribution.
+
+    The real datasets are not distributed with the reference (SURVEY §6);
+    published statistics put the mean tweet at ~16-17 tokens. After
+    byte-level BPE (~1.3 subtokens/token) plus <s>/</s> that is ~24
+    subtokens. This samples a clipped lognormal with that mean (p50 ≈ 22,
+    p95 ≈ 52) so bucketed-serving benchmarks run against a realistic, fully
+    documented length mix rather than the all-128 worst case. Benchmarks
+    that use it must record the distribution alongside the number.
+    """
+    lens = np.exp(rng.normal(np.log(22.0), 0.45, n)) + 2
+    return np.clip(lens.astype(np.int64), 5, max_len)
