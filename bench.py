@@ -66,7 +66,8 @@ def _enable_compile_cache():
 
 
 def bench_icka(quick: bool, batch_sizes, iters: int, pallas: bool = False,
-               int8: bool = False, quant_mode: str = "int8"):
+               int8: bool = False, quant_mode: str = "int8",
+               fuse_qkv: bool = None, softmax_bf16: bool = None):
     import dataclasses
 
     import numpy as np
@@ -95,10 +96,16 @@ def bench_icka(quick: bool, batch_sizes, iters: int, pallas: bool = False,
         rep = dict(use_pallas=pallas)
         if int8:
             rep["quant"] = quant_mode
-        if int8 and quant_mode == "int8_static":
-            # the full serving layout: fused (H,3H) QKV projections and
-            # bf16 softmax ride with calibrated-static quantization
+        # serving-layout components are A/B-able independently
+        # (--fuse_qkv/--no_fuse_qkv etc). Measured defaults for the
+        # flagship (r03 A/B at batch 128, int8_static + Pallas):
+        # fused QKV 559.8 pairs/s vs unfused 586 — the (1024,3072)
+        # fused projection LOSES to three (1024,1024) matmuls XLA can
+        # overlap, so the flagship default is unfused; bf16 softmax
+        # rides along only where measured to help.
+        if fuse_qkv:
             rep["fuse_qkv"] = True
+        if softmax_bf16:
             rep["softmax_dtype"] = "bfloat16"
         cfg = dataclasses.replace(
             cfg,
@@ -207,8 +214,10 @@ def bench_icka_bucketed(quick: bool, iters: int,
         cfg = ICKAConfig()
         resnet_layers, image_size = (3, 8, 36, 3), 256
         buckets, batch = (32, 64, 128), 128
-    rep = dict(use_pallas=jax.default_backend() == "tpu",
-               quant=quant_mode, fuse_qkv=True, softmax_dtype="bfloat16")
+    # unfused QKV: the serving-layout A/B (batch 128, int8_static+Pallas)
+    # measured fused (H,3H) projections at 559.8 pairs/s vs 585.6 unfused
+    # for the H=1024 flagship encoders, so the flagship serves unfused.
+    rep = dict(use_pallas=jax.default_backend() == "tpu", quant=quant_mode)
     cfg = dataclasses.replace(
         cfg,
         embedding=dataclasses.replace(cfg.embedding, **rep),
@@ -748,6 +757,11 @@ def main(argv=None):
     p.add_argument("--int8_static", action="store_true",
                    help="W8A8 with calibrated static activation scales "
                         "(no per-call abs-max passes; the serving layout)")
+    p.add_argument("--fuse_qkv", action="store_true",
+                   help="fused (H,3H) QKV projections in the flagship "
+                        "encoders (A/B: measured slower at H=1024)")
+    p.add_argument("--softmax_bf16", action="store_true",
+                   help="bf16 attention softmax in the flagship encoders")
     p.add_argument("--e2e_steps", type=int, default=8,
                    help="number of batches in the host-inclusive e2e run")
     p.add_argument("--remat_policy", default="full",
@@ -802,7 +816,9 @@ def main(argv=None):
         value, best_bs = bench_icka(args.quick, batch_sizes, iters,
                                     pallas=use_pallas,
                                     int8=headline_int8,
-                                    quant_mode=headline_mode)
+                                    quant_mode=headline_mode,
+                                    fuse_qkv=args.fuse_qkv,
+                                    softmax_bf16=args.softmax_bf16)
         metric = "icka_inference_pairs_per_sec_per_chip"
         if headline_int8:
             metric = (f"icka_{headline_mode}"

@@ -165,7 +165,11 @@ class ICKAModel(nn.Module):
         # derived from the input shape (== cfg.max_seq_length in the
         # reference layout; shorter under length-bucketed serving).
         tok_start = offset - 2 + 2 * cfg.prompt_len
-        sent_len = input_ids.shape[1] - offset
+        # the prompted input may carry tail slack beyond offset + sentence
+        # (`max_input_length`, features.py:126-128), so the sentence-region
+        # width comes from the bare-sentence tensor (== cfg.max_seq_length
+        # in the reference layout; shorter under bucketed serving)
+        sent_len = ori_input_ids.shape[1]
         token_embedding = out[:, tok_start:tok_start + sent_len, :]
 
         # 6. relevance gate

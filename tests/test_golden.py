@@ -63,7 +63,7 @@ def _compute_cli_f1(tmp_root):
         "--synthetic", ds, "--tiny", "--output_dir", out,
         "--train_batch_size", "4", "--gradient_accumulation_steps", "1",
         "--eval_batch_size", "3", "--learning_rate", "8e-3",
-        "--epochs_override", "8", "--compute_dtype", "float32",
+        "--epochs_override", "16", "--compute_dtype", "float32",
         "--data_axis", "1", "--seed", "7",
     ])
     result = eval_cli.main([

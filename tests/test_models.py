@@ -63,6 +63,34 @@ def test_icka_forward_modes(rng):
     np.testing.assert_array_equal(np.asarray(pred), np.asarray(test_pred))
 
 
+def test_icka_prompted_input_tail_slack(rng):
+    """The featurized layout pads the prompted input to `max_input_length`
+    which can EXCEED offset + max_seq_length (`features.py:126-128` slack
+    for long wordpiece expansions). The sentence-region slice must come
+    from the bare-sentence length, not the prompted tensor's tail
+    (regression: shape-derived sent_len overshot under slack and broke the
+    CLI path)."""
+    cfg = ICKAConfig.tiny()
+    batch, labels, mask_pos, offset = make_icka_batch(rng, cfg)
+    model = ICKAModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch, mask_pos, offset,
+                        mode="test")
+    pred = model.apply(params, batch, mask_pos, offset, mode="test")
+
+    slack = 7
+    B = batch["input_ids"].shape[0]
+    padded = dict(batch)
+    padded["input_ids"] = np.concatenate(
+        [batch["input_ids"], np.ones((B, slack), np.int32)], axis=1)
+    padded["input_mask"] = np.concatenate(
+        [batch["input_mask"], np.zeros((B, slack), np.int32)], axis=1)
+    padded["segment_ids"] = np.concatenate(
+        [batch["segment_ids"], np.zeros((B, slack), np.int32)], axis=1)
+    pred_slack = model.apply(params, padded, mask_pos, offset, mode="test")
+    assert pred_slack.shape == labels.shape
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(pred_slack))
+
+
 def test_icka_train_with_dropout_rng(rng):
     cfg = ICKAConfig.tiny()
     batch, labels, mask_pos, offset = make_icka_batch(rng, cfg)
