@@ -73,7 +73,13 @@ class EncoderConfig:
     #   "dots"      — jax.checkpoint_policies.checkpoint_dots: matmul
     #                 outputs are saved, only elementwise work (gelu,
     #                 LayerNorm, softmax scaling) is recomputed
-    remat_policy: str = "full"
+    #   "dots_nb"   — like "dots" but batched matmul outputs (the
+    #                 (B,N,S,S) attention scores/contexts) are NOT saved
+    #                 — the memory knee between "dots" and "full"
+    # r03 sweep on chip (flagship train step, batch 16): dots 76.4
+    # pairs/s > alternate 71.5 > full 69.5 — dots is the default; "full"
+    # remains the fallback when a batch does not fit HBM under dots.
+    remat_policy: str = "dots"
     # serve-time layout: one fused (H, 3H) QKV projection per
     # self-attention instead of three (H, H) matmuls — the input is read
     # and (when quantized) round/clip'd ONCE instead of three times, and

@@ -265,6 +265,13 @@ class Encoder(nn.Module):
             policy = None
             if self.cfg.remat_policy == "dots":
                 policy = jax.checkpoint_policies.checkpoint_dots
+            elif self.cfg.remat_policy == "dots_nb":
+                # save only matmul outputs WITHOUT batch dims (projections,
+                # FFN) — the batched (B,N,S,S) attention-score products are
+                # recomputed, which is what lets batch 32 fit where plain
+                # "dots" OOMs on saved fp32 score tensors
+                policy = (jax.checkpoint_policies
+                          .checkpoint_dots_with_no_batch_dims)
             layer_cls = nn.remat(SelfAttentionLayer, static_argnums=(3,),
                                  prevent_cse=False, policy=policy)
         for i in range(n):

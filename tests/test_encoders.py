@@ -225,7 +225,7 @@ def test_remat_policies_preserve_semantics(rng):
 
     want = loss(params, enc)
     want_g = jax.grad(loss)(params, enc)
-    for policy in ("full", "alternate", "dots"):
+    for policy in ("full", "alternate", "dots", "dots_nb"):
         rcfg = dataclasses.replace(cfg, remat=True, remat_policy=policy)
         renc = Encoder(rcfg)
         got = loss(params, renc)
