@@ -14,6 +14,12 @@ framework loads directly:
 
     # a reference best-checkpoint bundle (model.pth with {'net': ...})
     python -m icka_tpu.cli.convert icka --src out/model.pth --dst params/
+
+    # a TF-1.x BERT checkpoint (model.ckpt.index + .data shards), read
+    # natively — no tensorflow install needed (component #14,
+    # `my_bert/convert_tf_checkpoint_to_pytorch.py` equivalent)
+    python -m icka_tpu.cli.convert tf_bert --src bert/model.ckpt \
+        --dst params/encoder.msgpack
 """
 
 from __future__ import annotations
@@ -91,9 +97,29 @@ def convert_lstm_crf(src: str, dst_dir: str):
     print(f"wrote {dst_dir} (lstm={bool(lstm_sd)} crf={bool(crf_sd)})")
 
 
+def convert_tf_bert(src: str, dst: str):
+    """TF-1.x BERT checkpoint prefix → TextEncoder msgpack params."""
+    from icka_tpu.core.checkpoint import save_pytree
+    from icka_tpu.models.tf_convert import (
+        encoder_params_from_tf,
+        read_tf_checkpoint,
+    )
+
+    if src.endswith(".index"):
+        src = src[:-len(".index")]
+    tfvars = read_tf_checkpoint(src)
+    layers = 1 + max(
+        int(name.split("/")[2].split("_")[1])
+        for name in tfvars if name.startswith("bert/encoder/layer_"))
+    params = encoder_params_from_tf(tfvars, layers)
+    save_pytree(dst, params)
+    print(f"wrote {dst} ({layers} layers, {len(tfvars)} TF variables)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("kind", choices=["roberta", "bert", "resnet", "icka"])
+    p.add_argument("kind",
+                   choices=["roberta", "bert", "resnet", "icka", "tf_bert"])
     p.add_argument("--src", required=True)
     p.add_argument("--dst", required=True)
     args = p.parse_args(argv)
@@ -101,6 +127,8 @@ def main(argv=None):
         convert_roberta(args.src, args.dst)
     elif args.kind == "resnet":
         convert_resnet(args.src, args.dst)
+    elif args.kind == "tf_bert":
+        convert_tf_bert(args.src, args.dst)
     else:
         convert_lstm_crf(args.src, args.dst)
 

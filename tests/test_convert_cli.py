@@ -55,3 +55,32 @@ def test_convert_resnet_writes(tmp_path):
     dst = tmp_path / "resnet.msgpack"
     convert_resnet(str(src), str(dst))
     assert dst.exists() and dst.stat().st_size > 1000
+
+
+def test_convert_tf_bert_roundtrip(tmp_path, rng):
+    """TF checkpoint on disk → `tf_bert` CLI → msgpack → identical forward."""
+    from icka_tpu.cli.convert import convert_tf_bert
+    from icka_tpu.models.tf_convert import (
+        encoder_params_to_tf,
+        write_tf_checkpoint,
+    )
+
+    cfg = EncoderConfig(vocab_size=64, hidden_size=16, num_hidden_layers=2,
+                        num_attention_heads=2, intermediate_size=32,
+                        max_position_embeddings=32, layer_norm_eps=1e-12,
+                        position_offset=0, pad_token_id=0, type_vocab_size=2,
+                        hidden_dropout_prob=0.0,
+                        attention_probs_dropout_prob=0.0)
+    model = TextEncoder(cfg)
+    ids = rng.integers(1, 64, (2, 8)).astype(np.int32)
+    params = model.init(jax.random.PRNGKey(0), ids, np.ones_like(ids))
+
+    src = tmp_path / "tf" / "model.ckpt"
+    write_tf_checkpoint(str(src), encoder_params_to_tf(params["params"]))
+    dst = tmp_path / "enc.msgpack"
+    convert_tf_bert(str(src) + ".index", str(dst))   # .index suffix accepted
+
+    rebuilt = {"params": restore_pytree(str(dst), params["params"])}
+    want_seq, _ = model.apply(params, ids, np.ones_like(ids))
+    got_seq, _ = model.apply(rebuilt, ids, np.ones_like(ids))
+    np.testing.assert_array_equal(np.asarray(got_seq), np.asarray(want_seq))
