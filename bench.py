@@ -647,7 +647,7 @@ def bench_e2e(quick: bool, batch: int, steps: int, pallas: bool = False,
 
 
 def bench_train(quick: bool, batch: int, iters: int,
-                remat_policy: str = "full"):
+                remat_policy: str = "full", mu_dtype: str = "float32"):
     """Flagship training-step throughput (fwd+bwd+AdamW in ONE program)."""
     import numpy as np
     import jax
@@ -684,7 +684,8 @@ def bench_train(quick: bool, batch: int, iters: int,
 
     tcfg = TrainConfig(train_batch_size=batch,
                        gradient_accumulation_steps=1,
-                       compute_dtype="float32" if quick else "bfloat16")
+                       compute_dtype="float32" if quick else "bfloat16",
+                       mu_dtype=mu_dtype)
     offset, mask_positions = 14, (3, 11)
     spec = PromptSpec(offset, mask_positions, offset + cfg.max_seq_length,
                       cfg.max_seq_length)
@@ -769,6 +770,10 @@ def main(argv=None):
                    help="train-mode remat selectivity (see EncoderConfig). "
                         "Default by r03 sweep at batch 16: dots 76.4 "
                         "pairs/s > alternate 71.5 > full 69.5")
+    p.add_argument("--mu_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Adam first-moment storage dtype (train mode); "
+                        "bfloat16 frees ~0.8 GB for activations")
     p.add_argument("--skip_extras", action="store_true",
                    help="headline icka number only, no gate_cl/train")
     args = p.parse_args(argv)
@@ -914,10 +919,13 @@ def main(argv=None):
         extra["host_cpus"] = os.cpu_count()
     else:
         value = bench_train(args.quick, batch_sizes[0], iters,
-                            remat_policy=args.remat_policy)
+                            remat_policy=args.remat_policy,
+                            mu_dtype=args.mu_dtype)
         metric = "icka_train_pairs_per_sec_per_chip"
         extra["remat_policy"] = args.remat_policy
         extra["train_batch"] = batch_sizes[0]
+        if args.mu_dtype != "float32":
+            extra["mu_dtype"] = args.mu_dtype
 
     print(json.dumps({
         "metric": metric,

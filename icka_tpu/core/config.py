@@ -211,6 +211,12 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"
     data_axis: int = 1                  # mesh size along the data axis
     model_axis: int = 1                 # mesh size along the model (TP) axis
+    # ZeRO-1: shard Adam moments over the data axis (params stay replicated;
+    # XLA inserts the reduce-scatter/all-gather pair around the update)
+    zero1: bool = False
+    # dtype of the Adam first moment (mu); bf16 halves its HBM residency.
+    # The second moment stays fp32 (sqrt(nu) precision gates the update).
+    mu_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

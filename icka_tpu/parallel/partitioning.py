@@ -75,25 +75,65 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
         params, specs, is_leaf=lambda x: isinstance(x, P))
 
 
-def shard_train_state(state: Any, mesh: Mesh) -> Any:
-    """Shard params and matching optimizer moments; everything else
-    (scalars, schedules) replicated."""
-    specs = param_partition_specs(state.params, mesh)
+def zero1_moment_specs(params: Any, mesh: Mesh) -> Any:
+    """ZeRO-1 PartitionSpecs for Adam moments: each moment leaf keeps its
+    parameter's TP sharding and additionally shards its largest remaining
+    dimension over the DATA axis.
 
-    def put_like(tree):
-        return jax.tree.map(
-            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-            tree, specs, is_leaf=lambda x: isinstance(x, P))
+    Params and grads stay replicated across "data" (plain DP); only the
+    optimizer state is partitioned. XLA then materializes the classic
+    ZeRO-1 schedule from the sharding alone: the moment update runs on
+    each device's 1/N shard and the parameter delta is all-gathered —
+    moment HBM residency drops by the data-axis size with no hand-written
+    collectives. Leaves with no dimension divisible by the axis stay as
+    their TP spec (biases, LayerNorms — noise next to the big kernels)."""
+    from icka_tpu.core.mesh import DATA_AXIS
 
-    def put_opt(node):
-        # optax states mirror the param tree inside ScaleByAdamState etc.
+    data = mesh.shape.get(DATA_AXIS, 1)
+    tp = param_partition_specs(params, mesh)
+
+    def add_data(leaf, spec: P) -> P:
+        if data <= 1 or leaf.ndim == 0:
+            return spec
+        entries = list(spec) + [None] * (leaf.ndim - len(spec))
+        free = [(leaf.shape[i], i) for i in range(leaf.ndim)
+                if entries[i] is None and leaf.shape[i] % data == 0]
+        if not free:
+            return spec
+        _, axis = max(free)
+        entries[axis] = DATA_AXIS
+        return P(*entries)
+
+    return jax.tree.map(add_data, params, tp,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def _map_moments(opt_state: Any, fn) -> Any:
+    """Apply `fn` to the mu/nu trees of every Adam-like node."""
+
+    def visit(node):
         if hasattr(node, "mu") and hasattr(node, "nu"):
-            return node._replace(mu=put_like(node.mu), nu=put_like(node.nu))
+            return node._replace(mu=fn(node.mu), nu=fn(node.nu))
         return node
 
-    new_params = put_like(state.params)
-    new_opt = jax.tree.map(put_opt, state.opt_state,
-                           is_leaf=lambda n: hasattr(n, "mu"))
+    return jax.tree.map(visit, opt_state,
+                        is_leaf=lambda n: hasattr(n, "mu"))
+
+
+def shard_train_state(state: Any, mesh: Mesh, zero1: bool = False) -> Any:
+    """Shard params and matching optimizer moments; everything else
+    (scalars, schedules) replicated. With `zero1`, moments additionally
+    shard over the data axis (see `zero1_moment_specs`)."""
+    specs = param_partition_specs(state.params, mesh)
+    mspecs = zero1_moment_specs(state.params, mesh) if zero1 else specs
+
+    def put(tree, spec_tree):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, spec_tree, is_leaf=lambda x: isinstance(x, P))
+
+    new_params = put(state.params, specs)
+    new_opt = _map_moments(state.opt_state, lambda t: put(t, mspecs))
     repl = NamedSharding(mesh, P())
     replaced = state.replace(params=new_params, opt_state=new_opt)
     if getattr(state, "backbone_variables", None) is not None:

@@ -147,11 +147,16 @@ def make_optimizer(cfg: TrainConfig, total_steps: int,
         cfg.learning_rate,
         int(cfg.warmup_proportion * total_steps),
         total_steps)
+    import jax.numpy as jnp
+
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
             schedule,
             b1=0.9, b2=0.999, eps=1e-8,
+            # bf16 first moment halves mu's HBM residency (TrainConfig);
+            # nu stays fp32 — sqrt(nu) precision gates the update scale
+            mu_dtype=jnp.dtype(getattr(cfg, "mu_dtype", "float32")),
             weight_decay=cfg.weight_decay,
             mask=_decay_mask if params is None else _decay_mask(params),
         ),

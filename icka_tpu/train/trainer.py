@@ -155,6 +155,26 @@ class ICKATrainer:
     def make_train_step(self):
         """jit once; batch layout (accum, micro_batch, ...)."""
         accum = self.train_cfg.gradient_accumulation_steps
+        zero1 = getattr(self.train_cfg, "zero1", False)
+
+        def constrain_zero1(state):
+            """Pin Adam moments to the ZeRO-1 layout inside the program so
+            XLA keeps the moment update on each device's 1/N shard (and
+            all-gathers only the parameter delta) instead of resolving the
+            replicated-grads × sharded-moments mismatch the other way."""
+            from jax.sharding import NamedSharding
+            from icka_tpu.parallel.partitioning import (
+                _map_moments,
+                zero1_moment_specs,
+            )
+
+            specs = zero1_moment_specs(state.params, self.mesh)
+            pin = lambda t: jax.tree.map(  # noqa: E731
+                lambda x, s: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh, s)),
+                t, specs)
+            return state.replace(
+                opt_state=_map_moments(state.opt_state, pin))
 
         @partial(jax.jit, donate_argnums=(0,))
         def step(state: ICKATrainState, batch, rng):
@@ -189,6 +209,8 @@ class ICKATrainer:
                 params=jax.tree.map(keep, new_state.params, state.params),
                 opt_state=jax.tree.map(keep, new_state.opt_state,
                                        state.opt_state))
+            if zero1:
+                new_state = constrain_zero1(new_state)
             return new_state, loss_sum / accum
 
         return step
