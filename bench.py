@@ -384,7 +384,8 @@ def bench_gate_cl(quick: bool, batch_sizes, iters: int,
 
 def bench_gate_cl_bucketed(quick: bool, iters: int,
                            int8: bool = True,
-                           quant_mode: str = "int8_static"):
+                           quant_mode: str = "int8_static",
+                           batch_override: int | None = None):
     """Length-bucketed gate_cl serving throughput (icka_tpu.serving).
 
     The reference pads every tweet to max_seq_length=128
@@ -416,6 +417,8 @@ def bench_gate_cl_bucketed(quick: bool, iters: int,
     else:
         cfg = GateCLConfig()
         buckets, batch = (32, 64, 128), 128
+    if batch_override:
+        batch = batch_override
     rep = {}
     if int8:
         rep = dict(quant=quant_mode)
@@ -907,7 +910,9 @@ def main(argv=None):
         value, detail = bench_gate_cl_bucketed(args.quick, iters,
                                                int8=int8_on or not args.quick,
                                                quant_mode=quant_mode
-                                               if int8_on else "int8_static")
+                                               if int8_on else "int8_static",
+                                               batch_override=batch_sizes[0]
+                                               if args.batch_sizes else None)
         metric = "gate_cl_bucketed_serving_pairs_per_sec_per_chip"
         extra["bucket_detail"] = detail
     elif args.model == "e2e":
