@@ -78,3 +78,57 @@ def tsv_writer(rows, tsv_path: str):
             f.write(line)
             fidx.write(f"{pos}\n")
             pos += len(line.encode("utf-8"))
+
+
+def load_list_file(path: str) -> List[str]:
+    """One stripped string per line, trailing blank dropped
+    (`utils/tsv_file_ops.py:50-57`)."""
+    with open(path) as f:
+        lines = [line.strip() for line in f]
+    if lines and lines[-1] == "":
+        lines.pop()
+    return lines
+
+
+def concat_tsv_files(tsvs: List[str], out_tsv: str,
+                     generate_lineidx: bool = False) -> None:
+    """Byte-concatenate TSV shards; optionally merge their .lineidx files
+    by offsetting each shard's entries by the cumulative byte size of the
+    preceding shards (`utils/tsv_file_ops.py:34-47`). Writes through a .tmp
+    then renames, so a crashed concat never leaves a torn output."""
+    import shutil
+
+    tmp = out_tsv + ".tmp"
+    with open(tmp, "wb") as out:
+        for t in tsvs:
+            with open(t, "rb") as f:
+                shutil.copyfileobj(f, out, 10 * 1024 * 1024)
+    os.rename(tmp, out_tsv)
+    if generate_lineidx:
+        offset = 0
+        with open(_lineidx_path(out_tsv), "w") as f:
+            for t in tsvs:
+                for idx in load_list_file(_lineidx_path(t)):
+                    f.write(f"{int(idx) + offset}\n")
+                offset += os.stat(t).st_size
+
+
+def reorder_tsv_keys(in_tsv: str, ordered_keys: List[str],
+                     out_tsv: str) -> None:
+    """Rewrite a key-first TSV with rows in `ordered_keys` order
+    (`utils/tsv_file_ops.py:59-68`)."""
+    tsv = TSVFile(in_tsv, generate_lineidx=True)
+    key_to_idx = {tsv.seek(i)[0]: i for i in range(len(tsv))}
+    tsv_writer((tsv.seek(key_to_idx[k]) for k in ordered_keys), out_tsv)
+    tsv.close()
+
+
+def delete_tsv_files(tsvs: List[str]) -> None:
+    """Remove TSV shards and their .lineidx sidecars, ignoring races
+    (`utils/tsv_file_ops.py:70-92`)."""
+    for t in tsvs:
+        for path in (t, _lineidx_path(t)):
+            try:
+                os.remove(path)
+            except OSError:
+                pass

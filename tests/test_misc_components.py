@@ -162,3 +162,41 @@ def test_tsv_file_roundtrip(tmp_path):
     assert f[1] == ["b", "2"]
     assert f.seek(2) == ["c", "3"]
     assert f[0] == ["a", "1"]
+
+
+def test_tsv_ops(tmp_path):
+    """concat (with merged lineidx), reorder-by-key, delete
+    (`utils/tsv_file_ops.py` parity)."""
+    from icka_tpu.utils.tsv_file import (
+        concat_tsv_files,
+        delete_tsv_files,
+        load_list_file,
+        reorder_tsv_keys,
+    )
+
+    a = str(tmp_path / "a.tsv")
+    b = str(tmp_path / "b.tsv")
+    tsv_writer([["k1", "x"], ["k2", "yy"]], a)
+    tsv_writer([["k3", "zzz"]], b)
+
+    out = str(tmp_path / "all.tsv")
+    concat_tsv_files([a, b], out, generate_lineidx=True)
+    f = TSVFile(out, generate_lineidx=False)   # must use the MERGED index
+    assert len(f) == 3
+    assert f[2] == ["k3", "zzz"]
+    assert f[1] == ["k2", "yy"]
+
+    # merged lineidx = shard offsets shifted by cumulative byte sizes
+    import os
+    idx = [int(v) for v in load_list_file(str(tmp_path / "all.lineidx"))]
+    assert idx[2] == os.stat(a).st_size
+
+    ordered = str(tmp_path / "ordered.tsv")
+    reorder_tsv_keys(out, ["k3", "k1", "k2"], ordered)
+    g = TSVFile(ordered)
+    assert [g[i][0] for i in range(3)] == ["k3", "k1", "k2"]
+
+    delete_tsv_files([a, b])
+    assert not os.path.exists(a) and not os.path.exists(b)
+    assert not os.path.exists(str(tmp_path / "a.lineidx"))
+    delete_tsv_files([a])      # idempotent on missing files
