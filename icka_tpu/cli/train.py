@@ -179,8 +179,14 @@ def main(argv=None):
     ckpt = Checkpointer(args.output_dir)
     ckpt.save_config(to_json(model_cfg))
     epochs = args.epochs_override or train_cfg.num_train_epochs
-    state, history = trainer.fit(train_loader, dev_loader, epochs=epochs,
-                                 checkpointer=ckpt)
+    from icka_tpu.core.checkpoint import PreemptionGuard
+
+    # SIGTERM/SIGINT during training snapshots the last completed step
+    # (atomic write) and exits cleanly; rerunning the same command resumes
+    with PreemptionGuard() as guard:
+        state, history = trainer.fit(train_loader, dev_loader,
+                                     epochs=epochs, checkpointer=ckpt,
+                                     preemption_guard=guard)
     print(f"done; best dev F1 = {ckpt.manifest['best_metric']}")
     return state
 

@@ -32,8 +32,13 @@ def _to_host(tree):
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(_to_host(tree)))
+    """Atomic write (serialize → .tmp → rename): a preemption or crash
+    mid-save can never tear an existing checkpoint."""
+    data = serialization.to_bytes(_to_host(tree))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
 
 
 def restore_pytree(path: str, target: Any) -> Any:
@@ -62,8 +67,10 @@ class Checkpointer:
                 self.manifest = json.load(f)
 
     def _write_manifest(self):
-        with open(self._manifest_path, "w") as f:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self.manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path)
 
     def save_config(self, config_json: str) -> None:
         with open(os.path.join(self.directory, "config.json"), "w") as f:
@@ -106,3 +113,53 @@ class Checkpointer:
         if self.manifest["best_step"] is not None:
             return self.restore_best(target), self.manifest["best_step"]
         return target, None
+
+
+class PreemptionGuard:
+    """Cooperative preemption handling (SURVEY §5: the reference has no
+    training-level failure handling at all; TPU pods are routinely
+    preempted with a SIGTERM grace window).
+
+    Used as a context manager, it converts SIGTERM/SIGINT into a flag the
+    training loop polls between batches — the loop then snapshots through
+    the (atomic-write) Checkpointer and returns cleanly, so `resume()`
+    continues from the last completed step instead of losing the run.
+
+        with PreemptionGuard() as guard:
+            trainer.fit(..., preemption_guard=guard)
+
+    The previous signal handlers are restored on exit; a second signal
+    while the flag is already set re-raises the default behavior (so a
+    stuck run can still be killed)."""
+
+    def __init__(self, signals=None):
+        import signal as _signal
+
+        self._signal = _signal
+        self.signals = tuple(signals) if signals is not None else (
+            _signal.SIGTERM, _signal.SIGINT)
+        self._prev = {}
+        self._requested = False
+
+    @property
+    def requested(self) -> bool:
+        return self._requested
+
+    def _handler(self, signum, frame):
+        if self._requested:   # second signal: give up cooperatively
+            prev = self._prev.get(signum, self._signal.SIG_DFL)
+            self._signal.signal(signum, prev)
+            self._signal.raise_signal(signum)
+            return
+        self._requested = True
+
+    def __enter__(self):
+        for s in self.signals:
+            self._prev[s] = self._signal.signal(s, self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        for s, prev in self._prev.items():
+            self._signal.signal(s, prev)
+        self._prev.clear()
+        return False

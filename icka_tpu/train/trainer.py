@@ -240,7 +240,8 @@ class ICKATrainer:
     # -- loops -------------------------------------------------------------
 
     def fit(self, train_loader, dev_loader=None, epochs=None, rng=None,
-            state=None, total_steps=None, checkpointer=None, log=print):
+            state=None, total_steps=None, checkpointer=None, log=print,
+            preemption_guard=None):
         cfg = self.train_cfg
         epochs = epochs or cfg.num_train_epochs
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
@@ -268,6 +269,16 @@ class ICKATrainer:
             t0 = time.time()
             losses = []
             for batch in train_loader:
+                if preemption_guard is not None and \
+                        preemption_guard.requested:
+                    # preemption: snapshot the last COMPLETED step and
+                    # return cleanly so Checkpointer.resume() continues
+                    # the run (SURVEY §5 — reference loses the run here)
+                    step_no = int(jax.device_get(state.step))
+                    if checkpointer is not None:
+                        checkpointer.save(state, step=step_no)
+                    log(f"preempted: saved step {step_no}, exiting fit")
+                    return state, history
                 rng, k = jax.random.split(rng)
                 batch = shard_accum_batch(self.mesh, batch)
                 state, loss = self._train_step(state, batch, k)
