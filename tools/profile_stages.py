@@ -86,6 +86,12 @@ def main():
                    help="profile the int8_static serving layout (encoder "
                         "projections + ResNet conv contractions W8A8, "
                         "calibrated activation scales)")
+    p.add_argument("--pallas", action="store_true",
+                   help="route encoder self-attention through the Pallas "
+                        "fused kernel, as the serving pipeline does "
+                        "(bench.py sets use_pallas=True on TPU) — without "
+                        "this the embed/last stage numbers measure the "
+                        "einsum path, NOT the serving path")
     args = p.parse_args()
     _enable_cache()
 
@@ -99,13 +105,16 @@ def main():
 
     import dataclasses
     cfg = ICKAConfig()
+    rep = {}
     if args.int8:
+        rep["quant"] = "int8_static"
+    if args.pallas:
+        rep["use_pallas"] = True
+    if rep:
         cfg = dataclasses.replace(
             cfg,
-            embedding=dataclasses.replace(cfg.embedding,
-                                          quant="int8_static"),
-            last_encoder=dataclasses.replace(cfg.last_encoder,
-                                             quant="int8_static"))
+            embedding=dataclasses.replace(cfg.embedding, **rep),
+            last_encoder=dataclasses.replace(cfg.last_encoder, **rep))
     enc_cfg = dataclasses.replace(cfg.embedding,
                                   num_hidden_layers=args.enc_layers)
     enc_scale = cfg.embedding.num_hidden_layers / args.enc_layers
