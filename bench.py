@@ -183,7 +183,8 @@ def bench_icka(quick: bool, batch_sizes, iters: int, pallas: bool = False,
 
 
 def bench_icka_bucketed(quick: bool, iters: int,
-                        quant_mode: str = "int8_static"):
+                        quant_mode: str = "int8_static",
+                        buckets_override: tuple | None = None):
     """Length-bucketed flagship serving (icka_tpu.serving rationale): both
     RoBERTa stacks scale with token count (~167 of the 215 GFLOP/pair),
     while ResNet-152 is the per-pair floor. Buckets share one parameter
@@ -213,7 +214,11 @@ def bench_icka_bucketed(quick: bool, iters: int,
     else:
         cfg = ICKAConfig()
         resnet_layers, image_size = (3, 8, 36, 3), 256
-        buckets, batch = (32, 64, 128), 128
+        # fine buckets beat (32, 64, 128) by ~11% weighted here (less than
+        # gate_cl's ~17%: ResNet-152 is a length-independent 37 ms floor)
+        buckets, batch = (16, 24, 32, 48, 64, 128), 128
+    if buckets_override:
+        buckets = tuple(sorted(buckets_override))
     # unfused QKV: the serving-layout A/B (batch 128, int8_static+Pallas)
     # measured fused (H,3H) projections at 559.8 pairs/s vs 585.6 unfused
     # for the H=1024 flagship encoders, so the flagship serves unfused.
@@ -385,7 +390,8 @@ def bench_gate_cl(quick: bool, batch_sizes, iters: int,
 def bench_gate_cl_bucketed(quick: bool, iters: int,
                            int8: bool = True,
                            quant_mode: str = "int8_static",
-                           batch_override: int | None = None):
+                           batch_override: int | None = None,
+                           buckets_override: tuple | None = None):
     """Length-bucketed gate_cl serving throughput (icka_tpu.serving).
 
     The reference pads every tweet to max_seq_length=128
@@ -416,9 +422,13 @@ def bench_gate_cl_bucketed(quick: bool, iters: int,
         buckets, batch = (16, 32), 8
     else:
         cfg = GateCLConfig()
-        buckets, batch = (32, 64, 128), 128
+        # fine buckets beat (32, 64, 128) by ~17% weighted: 54% of the
+        # length distribution fits in <=24 tokens (measured r03)
+        buckets, batch = (16, 24, 32, 48, 64, 128), 128
     if batch_override:
         batch = batch_override
+    if buckets_override:
+        buckets = tuple(sorted(buckets_override))
     rep = {}
     if int8:
         rep = dict(quant=quant_mode)
@@ -779,6 +789,9 @@ def main(argv=None):
                         "bfloat16 frees ~0.8 GB for activations")
     p.add_argument("--skip_extras", action="store_true",
                    help="headline icka number only, no gate_cl/train")
+    p.add_argument("--buckets", default=None,
+                   help="comma-separated bucket lengths for the bucketed "
+                        "serving benches (default 32,64,128)")
     args = p.parse_args(argv)
 
     if args.quick:
@@ -903,16 +916,19 @@ def main(argv=None):
     elif args.model == "icka_bucketed":
         value, detail = bench_icka_bucketed(
             args.quick, iters,
-            quant_mode=quant_mode if int8_on else "int8_static")
+            quant_mode=quant_mode if int8_on else "int8_static",
+            buckets_override=tuple(int(b) for b in args.buckets.split(","))
+            if args.buckets else None)
         metric = "icka_bucketed_serving_pairs_per_sec_per_chip"
         extra["bucket_detail"] = detail
     elif args.model == "gate_cl_bucketed":
-        value, detail = bench_gate_cl_bucketed(args.quick, iters,
-                                               int8=int8_on or not args.quick,
-                                               quant_mode=quant_mode
-                                               if int8_on else "int8_static",
-                                               batch_override=batch_sizes[0]
-                                               if args.batch_sizes else None)
+        value, detail = bench_gate_cl_bucketed(
+            args.quick, iters,
+            int8=int8_on or not args.quick,
+            quant_mode=quant_mode if int8_on else "int8_static",
+            batch_override=batch_sizes[0] if args.batch_sizes else None,
+            buckets_override=tuple(int(b) for b in args.buckets.split(","))
+            if args.buckets else None)
         metric = "gate_cl_bucketed_serving_pairs_per_sec_per_chip"
         extra["bucket_detail"] = detail
     elif args.model == "e2e":
