@@ -2,6 +2,7 @@
 
 from icka_tpu.serving.bucketed import (  # noqa: F401
     BucketedGateCLServer,
+    BucketedICKAServer,
     ServingStats,
     pick_bucket,
     sample_tweet_lengths,

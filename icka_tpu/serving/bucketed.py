@@ -188,6 +188,140 @@ class BucketedGateCLServer:
         return results, ServingStats(pairs, batches)
 
 
+class BucketedICKAServer:
+    """Bucketed request-level inference for the flagship ICKA model
+    (`Cross_Modal_Interaction_Module.py:887-1057` at serving time — the
+    reference driver's eval loop pads every sentence to max_seq_length).
+
+    Examples are featurized dicts at their TRUE sentence length L:
+
+      - ``ori_input_ids`` (L,) — bare-sentence wordpiece ids
+      - ``input_ids`` (offset + L,) — prompted layout (prompt head of
+        ``offset`` tokens followed by the sentence; `data/features.py`)
+      - optional ``ori_segment_ids`` (L,), ``img_mask`` (49,)
+      - ``visual_mean`` (R,), ``visual_grid`` (7, 7, R),
+        ``clip_features`` (C,) or (1, C)
+
+    One parameter tree (init'd at any padded length) serves every bucket:
+    `ICKAModel` parameter shapes are length-independent. Decode contract
+    mirrors the gate_cl server: valid-prefix tags agree with the
+    128-padded reference layout statistically (the BiLSTM backward scan
+    enters the valid region through a shorter padding tail), asserted in
+    tests/test_serving.py.
+    """
+
+    def __init__(self, model, params,
+                 buckets: Sequence[int] = (16, 24, 32, 48, 64, 128),
+                 max_batch: int = 128, offset: int = 14,
+                 mask_positions: tuple = (3, 11)):
+        buckets = tuple(sorted(buckets))
+        if buckets[-1] != model.cfg.max_seq_length:
+            raise ValueError(
+                f"largest bucket {buckets[-1]} must equal "
+                f"max_seq_length {model.cfg.max_seq_length}")
+        self.model = model
+        self.params = params
+        self.buckets = buckets
+        self.max_batch = max_batch
+        self.offset = offset
+        self.mask_positions = tuple(mask_positions)
+        self._fns: dict[int, Callable] = {}
+
+    def _apply_fn(self, bucket: int) -> Callable:
+        if bucket not in self._fns:
+            model, mp, off = self.model, self.mask_positions, self.offset
+
+            @jax.jit
+            def fn(params, batch):
+                return model.apply(params, batch, mp, off, mode="test")
+
+            self._fns[bucket] = fn
+        return self._fns[bucket]
+
+    def _empty_batch(self, b: int):
+        cfg = self.model.cfg
+        B, off = self.max_batch, self.offset
+        pad = cfg.embedding.pad_token_id
+        return {
+            "input_ids": np.full((B, off + b), pad, np.int32),
+            "segment_ids": np.concatenate(
+                [np.zeros((B, off), np.int32),
+                 np.ones((B, b), np.int32)], 1),
+            "input_mask": np.zeros((B, off + b), np.int32),
+            "ori_input_ids": np.full((B, b), pad, np.int32),
+            "ori_input_mask": np.zeros((B, b), np.int32),
+            "ori_segment_ids": np.zeros((B, b), np.int32),
+            "img_mask": np.ones((B, cfg.num_regions), np.int32),
+            "clip_features": np.zeros((B, 1, cfg.clip_dim), np.float32),
+            "visual_mean": np.zeros((B, cfg.region_dim), np.float32),
+            "visual_grid": np.zeros((B, 7, 7, cfg.region_dim), np.float32),
+            "output_mask": np.zeros((B, b), np.int32),
+        }
+
+    def warmup(self) -> None:
+        for b in self.buckets:
+            batch = self._empty_batch(b)
+            batch["input_mask"][:, :self.offset + 1] = 1
+            batch["ori_input_mask"][:, 0] = 1
+            batch["output_mask"][:, 0] = 1
+            jax.block_until_ready(self._apply_fn(b)(self.params, batch))
+
+    def predict(self, examples: Sequence[dict]):
+        """Returns (tags, stats): ``tags[i]`` is a 1-D int32 array of
+        decoded labels at the example's true (possibly truncated) length.
+        """
+        off = self.offset
+        order: dict[int, list[int]] = {b: [] for b in self.buckets}
+        for i, ex in enumerate(examples):
+            L = min(len(ex["ori_input_ids"]), self.buckets[-1])
+            order[pick_bucket(L, self.buckets)].append(i)
+
+        results: list = [None] * len(examples)
+        pairs: dict[int, int] = {}
+        batches: dict[int, int] = {}
+        for b, idxs in order.items():
+            if not idxs:
+                continue
+            pairs[b] = len(idxs)
+            batches[b] = 0
+            fn = self._apply_fn(b)
+            for lo in range(0, len(idxs), self.max_batch):
+                chunk = idxs[lo:lo + self.max_batch]
+                n = len(chunk)
+                rows = chunk + [chunk[0]] * (self.max_batch - n)
+                batch = self._empty_batch(b)
+                lens = []
+                for r, i in enumerate(rows):
+                    ex = examples[i]
+                    L = min(len(ex["ori_input_ids"]), b)
+                    lens.append(L)
+                    batch["ori_input_ids"][r, :L] = np.asarray(
+                        ex["ori_input_ids"][:L], np.int32)
+                    batch["ori_input_mask"][r, :L] = 1
+                    batch["output_mask"][r, :L] = 1
+                    if "ori_segment_ids" in ex:
+                        batch["ori_segment_ids"][r, :L] = np.asarray(
+                            ex["ori_segment_ids"][:L], np.int32)
+                    pl = min(len(ex["input_ids"]), off + L)
+                    batch["input_ids"][r, :pl] = np.asarray(
+                        ex["input_ids"][:pl], np.int32)
+                    batch["input_mask"][r, :pl] = 1
+                    if "img_mask" in ex:
+                        batch["img_mask"][r] = np.asarray(
+                            ex["img_mask"], np.int32)
+                    batch["clip_features"][r] = np.asarray(
+                        ex["clip_features"], np.float32).reshape(1, -1)
+                    batch["visual_mean"][r] = np.asarray(
+                        ex["visual_mean"], np.float32)
+                    batch["visual_grid"][r] = np.asarray(
+                        ex["visual_grid"], np.float32)
+                tags = np.asarray(fn(self.params, batch))
+                batches[b] += 1
+                for r in range(n):
+                    results[chunk[r]] = tags[r, :lens[r]].astype(np.int32)
+        return results, ServingStats(pairs, batches)
+
+
 def sample_tweet_lengths(n: int, rng: np.random.Generator,
                          max_len: int = 128) -> np.ndarray:
     """Synthetic stand-in for the Twitter-2015 subtoken-length distribution.

@@ -214,6 +214,83 @@ def test_icka_length_flexible():
     assert agree >= 0.9, f"valid-prefix tag agreement {agree}"
 
 
+def _icka_examples(n, cfg, offset, rng, max_len=32):
+    vocab = cfg.embedding.vocab_size
+    exs = []
+    for _ in range(n):
+        L = int(rng.integers(3, max_len + 5))  # some exceed the top bucket
+        exs.append({
+            "ori_input_ids": rng.integers(2, vocab, L).astype(np.int32),
+            "input_ids": rng.integers(2, vocab, offset + L)
+            .astype(np.int32),
+            "clip_features": rng.standard_normal(cfg.clip_dim)
+            .astype(np.float32),
+            "visual_mean": rng.standard_normal(cfg.region_dim)
+            .astype(np.float32),
+            "visual_grid": rng.standard_normal((7, 7, cfg.region_dim))
+            .astype(np.float32),
+        })
+    return exs
+
+
+def test_icka_server_agreement_and_lengths():
+    """Request-level flagship serving: decoded tags come back at each
+    example's true (possibly truncated) length, and agree with the
+    reference full-pad layout on the valid prefix almost everywhere (the
+    BiLSTM/gate see a shorter padding tail — same statistical contract as
+    test_icka_length_flexible)."""
+    from icka_tpu.core.config import ICKAConfig
+    from icka_tpu.models.icka import ICKAModel
+    from icka_tpu.serving.bucketed import BucketedICKAServer
+
+    cfg = ICKAConfig.tiny()  # max_seq_length = 32
+    model = ICKAModel(cfg)
+    offset, mp = 14, (3, 11)
+    rng = np.random.default_rng(7)
+    init_b = _icka_batch(cfg, 2, offset, 32, rng)
+    params = model.init(jax.random.PRNGKey(0), init_b, mp, offset,
+                        mode="test")
+
+    exs = _icka_examples(10, cfg, offset, rng)
+    srv = BucketedICKAServer(model, params, buckets=(16, 32), max_batch=4,
+                             offset=offset, mask_positions=mp)
+    tags, stats = srv.predict(exs)
+    assert stats.total_pairs == len(exs)
+
+    pad = cfg.embedding.pad_token_id
+    agree = total = 0
+    for ex, t in zip(exs, tags):
+        L = min(len(ex["ori_input_ids"]), 32)
+        assert len(t) == L
+        # reference layout: the same example padded to max_seq_length
+        full = _icka_batch(cfg, 1, offset, 32, rng, true_len=L)
+        full["ori_input_ids"][0, :L] = ex["ori_input_ids"][:L]
+        full["input_ids"][0] = pad
+        pl = min(len(ex["input_ids"]), offset + L)
+        full["input_ids"][0, :pl] = ex["input_ids"][:pl]
+        full["input_mask"][0] = 0
+        full["input_mask"][0, :pl] = 1
+        full["clip_features"][0] = ex["clip_features"].reshape(1, -1)
+        full["visual_mean"][0] = ex["visual_mean"]
+        full["visual_grid"][0] = ex["visual_grid"]
+        ref = np.asarray(model.apply(params, full, mp, offset,
+                                     mode="test"))[0, :L]
+        agree += int((t == ref).sum())
+        total += L
+    assert agree / total >= 0.9, f"tag agreement {agree}/{total}"
+
+
+def test_icka_server_bucket_validation():
+    from icka_tpu.core.config import ICKAConfig
+    from icka_tpu.models.icka import ICKAModel
+    from icka_tpu.serving.bucketed import BucketedICKAServer
+
+    cfg = ICKAConfig.tiny()
+    model = ICKAModel(cfg)
+    with pytest.raises(ValueError):
+        BucketedICKAServer(model, params=None, buckets=(16,))
+
+
 def test_length_sampler_shape():
     rng = np.random.default_rng(0)
     lens = sample_tweet_lengths(1000, rng)
