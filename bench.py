@@ -184,7 +184,8 @@ def bench_icka(quick: bool, batch_sizes, iters: int, pallas: bool = False,
 
 def bench_icka_bucketed(quick: bool, iters: int,
                         quant_mode: str = "int8_static",
-                        buckets_override: tuple | None = None):
+                        buckets_override: tuple | None = None,
+                        batch_override: int | None = None):
     """Length-bucketed flagship serving (icka_tpu.serving rationale): both
     RoBERTa stacks scale with token count (~167 of the 215 GFLOP/pair),
     while ResNet-152 is the per-pair floor. Buckets share one parameter
@@ -219,6 +220,12 @@ def bench_icka_bucketed(quick: bool, iters: int,
         buckets, batch = (16, 24, 32, 48, 64, 128), 128
     if buckets_override:
         buckets = tuple(sorted(buckets_override))
+    if batch_override:
+        batch = batch_override
+    # unlike gate_cl, larger short-bucket batches do NOT pay here: every
+    # flagship stage (incl. ResNet at ~37 ms/128 images) scales with
+    # batch, and 128 already saturates it (L16: 1611 pairs/s @ 256 vs
+    # 1675 @ 128, measured r03) — all buckets serve at one batch size.
     # unfused QKV: the serving-layout A/B (batch 128, int8_static+Pallas)
     # measured fused (H,3H) projections at 559.8 pairs/s vs 585.6 unfused
     # for the H=1024 flagship encoders, so the flagship serves unfused.
@@ -429,6 +436,15 @@ def bench_gate_cl_bucketed(quick: bool, iters: int,
         batch = batch_override
     if buckets_override:
         buckets = tuple(sorted(buckets_override))
+    # measured per-bucket serving batches (r03 sweep): short buckets need
+    # larger batches to saturate the MXU — L16: 512 is +28% over 128,
+    # L24/L32: 256 is +13/+11%; L48 is flat and L64/L128 regress at 256.
+    # A uniform batch_override (e.g. a --batch_sizes sweep) disables this.
+    per_bucket = {} if (quick or batch_override) else {16: 512, 24: 256,
+                                                       32: 256}
+
+    def batch_of(L):
+        return per_bucket.get(L, batch)
     rep = {}
     if int8:
         rep = dict(quant=quant_mode)
@@ -480,8 +496,9 @@ def bench_gate_cl_bucketed(quick: bool, iters: int,
 
     step_time = {}
     for L in buckets:
-        a = jax.device_put(make(batch, L))
-        prev = jnp.zeros((batch, L), jnp.int32)
+        B = batch_of(L)
+        a = jax.device_put(make(B, L))
+        prev = jnp.zeros((B, L), jnp.int32)
         out = infer_loop(params, *a, prev, iters)
         np.asarray(out)
         best = float("inf")
@@ -491,15 +508,19 @@ def bench_gate_cl_bucketed(quick: bool, iters: int,
             np.asarray(out)
             best = min(best, (time.perf_counter() - t0) / iters)
         step_time[L] = best
-        print(f"# gate_cl bucket L={L}: {batch / best:.1f} pairs/s "
-              f"({best * 1e3:.2f} ms/step, share {share[L]:.3f})",
+        print(f"# gate_cl bucket L={L}: {B / best:.1f} pairs/s "
+              f"({best * 1e3:.2f} ms/step, batch {B}, share {share[L]:.3f})",
               file=sys.stderr)
 
-    weighted = batch / sum(share[b] * step_time[b] for b in buckets)
-    detail = {f"L{b}": round(batch / step_time[b], 1) for b in buckets}
+    # seconds per pair in bucket b is t_b / batch_b; weight by shares
+    weighted = 1.0 / sum(share[b] * step_time[b] / batch_of(b)
+                         for b in buckets)
+    detail = {f"L{b}": round(batch_of(b) / step_time[b], 1) for b in buckets}
     detail["shares"] = {f"L{b}": round(share[b], 4) for b in buckets}
+    if per_bucket:
+        detail["batches"] = {f"L{b}": batch_of(b) for b in buckets}
     print(f"# gate_cl bucketed weighted: {weighted:.1f} pairs/s "
-          f"(buckets {buckets}, batch {batch})", file=sys.stderr)
+          f"(buckets {buckets})", file=sys.stderr)
     return weighted, detail
 
 
@@ -928,7 +949,8 @@ def main(argv=None):
             args.quick, iters,
             quant_mode=quant_mode if int8_on else "int8_static",
             buckets_override=tuple(int(b) for b in args.buckets.split(","))
-            if args.buckets else None)
+            if args.buckets else None,
+            batch_override=batch_sizes[0] if args.batch_sizes else None)
         metric = "icka_bucketed_serving_pairs_per_sec_per_chip"
         extra["bucket_detail"] = detail
     elif args.model == "gate_cl_bucketed":

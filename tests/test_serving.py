@@ -139,6 +139,28 @@ def test_stats_accounting():
         assert stats.batches_per_bucket[b] == -(-n // 4)
 
 
+def test_per_bucket_batch_sizes():
+    """max_batch accepts one int, a {bucket: batch} map, or None (the
+    measured RECOMMENDED_BATCH defaults: short buckets serve at larger
+    batches to keep the MXU fed)."""
+    model, params = _model("ip")
+    rng = np.random.default_rng(6)
+    exs = _examples(9, rng)
+    srv = BucketedGateCLServer(model, params, buckets=(8, MAXL),
+                               max_batch={8: 2, MAXL: 4})
+    tags, stats = srv.predict(exs)
+    assert stats.total_pairs == 9
+    for b, n in stats.pairs_per_bucket.items():
+        bb = {8: 2, MAXL: 4}[b]
+        assert stats.batches_per_bucket[b] == -(-n // bb)
+    for ex, t in zip(exs, tags):
+        assert len(t) == min(len(ex["input_ids"]), MAXL)
+
+    default = BucketedGateCLServer(model, params, buckets=(8, MAXL))
+    assert default._batch_of(16) == 512      # RECOMMENDED_BATCH
+    assert default._batch_of(48) == 128      # fallback
+
+
 def test_largest_bucket_must_match_config():
     model, params = _model("ip")
     with pytest.raises(ValueError):
