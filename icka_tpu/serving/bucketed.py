@@ -91,7 +91,10 @@ class BucketedGateCLServer:
     """
 
     #: measured per-bucket serving batches (v5e, int8_static, r03 sweep);
-    #: buckets not listed saturate at 128
+    #: buckets not listed saturate at 128. These optimize THROUGHPUT —
+    #: an L16 batch of 512 runs ~21 ms but a low-traffic deployment waits
+    #: longer to fill it; latency-sensitive callers should pass a smaller
+    #: int/map for max_batch (128 costs ~22% L16 throughput).
     RECOMMENDED_BATCH = {16: 512, 24: 256, 32: 256}
 
     def __init__(self, model, params,
