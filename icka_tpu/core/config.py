@@ -152,6 +152,15 @@ class ICKAConfig:
     use_alignment_prompt: bool = True
     use_gate: bool = True
     gate_fixed: float = 0.5              # blend used when use_gate=False
+    # Serving-exactness knob: mask the BiLSTM so padding timesteps hold the
+    # recurrent state (the backward scan then enters the valid region with
+    # the same zero state at ANY padded length). With it, length-bucketed
+    # decode is BIT-IDENTICAL to the 128-padded layout at valid positions
+    # (tests/test_serving.py). Default False = reference parity: torch
+    # nn.LSTM runs unmasked over the padded sequence
+    # (`Cross_Modal_Interaction_Module.py:1042`), so its backward states
+    # inside the valid region depend on the padding tail.
+    masked_lstm: bool = False
 
     @classmethod
     def tiny(cls, vocab_size: int = 128) -> "ICKAConfig":
@@ -186,6 +195,15 @@ class GateCLConfig:
     temp: float = 0.179                # InfoNCE temperature, driver :483
     temp_lamb: float = 0.7             # directional mix, driver :487
     negative_rate: int = 16            # negative-pair swap count, driver :480
+    # Serving-exactness knob for variant="gate_cl": zero the masked
+    # positions of the relation-classifier input before its (L·2H) flatten
+    # (`crs_classifier`, gate_cl_modeling.py:1258). The scalar relevance
+    # gate P then sees identical features at any padded length, making
+    # length-bucketed decode BIT-IDENTICAL to the 128-padded layout.
+    # Default False = reference parity: the reference flattens
+    # padding-position activations into the gate (a padding-artifact
+    # quirk). "ip"/"cl" variants are exact either way.
+    masked_crs: bool = False
 
     @classmethod
     def tiny(cls, vocab_size: int = 128, variant: str = "gate_cl") -> "GateCLConfig":

@@ -132,6 +132,13 @@ class GateCLModel(nn.Module):
             # enabler for length-bucketed serving (icka_tpu.serving):
             # missing positions contribute exactly 0, like all-zero rows.
             crs_in = jnp.concatenate([seq, cross_used], axis=-1)
+            if cfg.masked_crs:
+                # serving-exactness mode: padding positions contribute
+                # exactly 0 to the flatten at ANY padded length, so the
+                # relevance gate P is bit-identical under bucketing.
+                # Default False keeps the reference quirk (the gate
+                # flattens pad-token activations, :1258).
+                crs_in = crs_in * input_mask[:, :, None].astype(crs_in.dtype)
             L = crs_in.shape[1]
             if L < cfg.max_seq_length:
                 crs_in = jnp.pad(
@@ -179,3 +186,93 @@ class GateCLModel(nn.Module):
             return main_loss
         alpha = cfg.alpha if cfg.variant == "gate_cl" else cfg.cl_alpha
         return alpha * main_loss + (1 - alpha) * aux_loss
+
+    def forward_packed(self, input_ids, position_ids, token_type_ids,
+                       slot_index, token_valid, seg_start, img_mask,
+                       visual_grid, seg_gather):
+        """Sequence-PACKED inference: each row carries up to S short
+        sentences (the reference pads every tweet to 128 and pays the full
+        cost, `My_cross_attention.py:375-427`; bucketing removes most of
+        that tax, packing removes the rest by filling rows to ~100%).
+
+        Inputs (B rows, L = packed row length, S = slots per row):
+          input_ids / position_ids / token_type_ids (B, L) — concatenated
+            segments; position ids are HOST-computed per segment in the
+            encoder's dialect so each sentence sees exactly the positions
+            it would see alone;
+          slot_index (B, L) int32 — owning slot per token, S for padding;
+          token_valid (B, L) {0,1}; seg_start (B, L) {0,1} first-token
+            marks;
+          img_mask (B, S, num_regions); visual_grid (B, S, 7, 7, R) — one
+            image PER SLOT (every pair keeps its own image);
+          seg_gather (B, S, max_seq_length) int32 — indices into the row's
+            token axis mapping (slot, within-segment offset) → position,
+            L for "missing" (reads an appended zero row).
+
+        Isolation is exact: block-diagonal self-attention (tokens only see
+        their own segment), per-slot visual keys in the cross-attention,
+        per-segment position ids, Viterbi lattice cut at `seg_start`
+        (`crf_decode(reset=...)`). The relation gate uses the
+        `masked_crs=True` semantics (missing positions contribute exact
+        zeros to the flatten) regardless of the config flag — packed rows
+        have no reference-style padding tail to flatten.
+
+        Returns (B, L) decoded tags in packed order; the server slices
+        per-segment spans back out.
+        """
+        cfg = self.cfg
+        B, L = input_ids.shape
+        S = img_mask.shape[1]
+        H = cfg.encoder.hidden_size
+        R_n = cfg.num_regions
+
+        # block-diagonal self-attention: key j visible to query i iff the
+        # same slot owns both (padding's sentinel slot only sees padding)
+        pair = (slot_index[:, :, None] == slot_index[:, None, :])
+        seq, pooled = self.bert(
+            input_ids, pair[:, None].astype(jnp.int32), token_type_ids,
+            position_ids=position_ids, deterministic=True)
+
+        grid = visual_grid.reshape(B, S * R_n, visual_grid.shape[-1])
+        grid = self.vismap2text(grid)
+        # per-slot visual keys: query token i may read region (s, r) iff
+        # slot_index[i] == s and img_mask[s, r]
+        slot_onehot = (slot_index[:, :, None]
+                       == jnp.arange(S, dtype=jnp.int32)[None, None, :])
+        kv_ok = (slot_onehot[:, :, :, None]
+                 & (img_mask[:, None, :, :] > 0)).reshape(B, L, S * R_n)
+        cross = self.txt2img(seq, grid,
+                             additive_mask(kv_ok[:, None].astype(jnp.int32)),
+                             deterministic=True)
+
+        if cfg.variant == "gate_cl":
+            validf = token_valid[:, :, None].astype(cross.dtype)
+            crs_in = jnp.concatenate([seq, cross], axis=-1) * validf
+            # per-segment flatten: gather each slot's tokens into the
+            # canonical (max_seq_length, 2H) layout the relation
+            # classifier was trained on (missing positions = exact zeros,
+            # the masked_crs contract), then one batched Dense call.
+            work = jnp.concatenate(
+                [crs_in, jnp.zeros((B, 1, 2 * H), crs_in.dtype)], axis=1)
+            idx = seg_gather.reshape(B, S * cfg.max_seq_length)[:, :, None]
+            g = jnp.take_along_axis(work, idx, axis=1)
+            g = g.reshape(B * S, cfg.max_seq_length * 2 * H)
+            crs_logits = self.crs_classifier(g)               # (B*S, 2)
+            P = nn.softmax(crs_logits, axis=-1)[:, -1].reshape(B, S)
+            # P per token via its owning slot (sentinel slot → 0)
+            P_tok = jnp.take_along_axis(
+                jnp.concatenate([P, jnp.zeros((B, 1), P.dtype)], axis=1),
+                jnp.minimum(slot_index, S), axis=1)           # (B, L)
+            cross_used = P_tok[:, :, None].astype(cross.dtype) * cross
+            gate = nn.sigmoid(self.gate_text(seq)
+                              + self.gate_image(cross_used))
+            gated = gate * cross_used
+        elif cfg.variant == "cl":
+            gate = nn.sigmoid(self.gate_text(seq) + self.gate_image(cross))
+            gated = gate * cross
+        else:  # "ip"
+            gated = cross
+
+        final = jnp.concatenate([seq, gated], axis=-1)
+        emissions = self.classifier(final)
+        return self.crf.decode(emissions, token_valid, reset=seg_start)

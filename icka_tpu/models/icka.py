@@ -180,8 +180,12 @@ class ICKAModel(nn.Module):
             g = jnp.full((B, 1, 1), cfg.gate_fixed, self.dtype)
         fused = g * token_embedding + (1.0 - g) * cross
 
-        # 7. BiLSTM → emissions
-        x = self.lstm(fused)
+        # 7. BiLSTM → emissions. masked_lstm (serving-exactness mode) holds
+        # the recurrent state at padding timesteps so bucketed decode is
+        # bit-identical to the 128-padded layout; default False keeps torch
+        # nn.LSTM parity (the reference scans the padding tail, :1042).
+        x = self.lstm(fused,
+                      mask=ori_input_mask if cfg.masked_lstm else None)
         emissions = self.classifier(x)
         return emissions, {"gate": g, "cross": cross,
                            "token_embedding": token_embedding}

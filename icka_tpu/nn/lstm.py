@@ -28,18 +28,29 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _bilstm_scan(x_proj, w_hh, b_hh, hidden: int, matmul_dtype, unroll=None):
+def _bilstm_scan(x_proj, w_hh, b_hh, hidden: int, matmul_dtype, unroll=None,
+                 mask=None):
     """x_proj: (2, B, L, 4H) input contributions (+ b_ih), direction 0 in
     forward time order, direction 1 time-reversed. w_hh: (2, H, 4H),
-    b_hh: (2, 1, 4H). Returns (2, B, L, H) hidden states in scan order."""
+    b_hh: (2, 1, 4H). Returns (2, B, L, H) hidden states in scan order.
+
+    `mask` (2, B, L) {0,1} in scan order, optional: masked timesteps HOLD
+    the recurrent state (h, c) instead of updating it, so the backward
+    direction enters each row's valid region with the initial zero state
+    regardless of how much padding follows the sequence. This is the
+    serving-exactness mode (`ICKAConfig.masked_lstm`); the default
+    (mask=None) matches torch nn.LSTM over a padded batch bit-for-bit."""
     _, B, L, _ = x_proj.shape
     h0 = jnp.zeros((2, B, hidden), jnp.float32)
     c0 = jnp.zeros((2, B, hidden), jnp.float32)
     precise = matmul_dtype == jnp.float32
     w = w_hh.astype(matmul_dtype)
+    masked = mask is not None
 
-    def step(carry, xt):                    # xt: (2, B, 4H)
+    def step(carry, xt):                    # xt: (2, B, 4H) [+ (2, B, 1)]
         h, c = carry
+        if masked:
+            xt, mt = xt
         rec = jnp.einsum(
             "dbh,dhg->dbg", h.astype(matmul_dtype), w,
             precision=jax.lax.Precision.HIGHEST if precise else None,
@@ -48,11 +59,17 @@ def _bilstm_scan(x_proj, w_hh, b_hh, hidden: int, matmul_dtype, unroll=None):
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
         g = jnp.tanh(g)
-        c = f * c + i * g
-        h = o * jnp.tanh(c)
-        return (h, c), h
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        if masked:
+            c_new = jnp.where(mt, c_new, c)
+            h_new = jnp.where(mt, h_new, h)
+        return (h_new, c_new), h_new
 
     xs = jnp.moveaxis(x_proj.astype(jnp.float32), 2, 0)   # (L, 2, B, 4H)
+    if masked:
+        mt = jnp.moveaxis(mask, 2, 0)[..., None] > 0      # (L, 2, B, 1)
+        xs = (xs, mt)
     if unroll is None:
         from icka_tpu.nn.layers import scan_unroll
         unroll = scan_unroll()
@@ -76,7 +93,10 @@ class BiLSTM(nn.Module):
     quant: str = "none"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        """x: (B, L, D). `mask` (B, L) {0,1}, optional: padding timesteps
+        hold the recurrent state (see `_bilstm_scan`) — the
+        serving-exactness mode. Default None = torch-parity unmasked."""
         from icka_tpu.nn.layers import matmul_precision
 
         in_dim = x.shape[-1]
@@ -155,8 +175,13 @@ class BiLSTM(nn.Module):
         b_hh = jnp.stack([params["fwd"]["b_hh"],
                           params["bwd"]["b_hh"]], axis=0)[:, None, :]
 
+        scan_mask = None
+        if mask is not None:
+            m = mask.astype(jnp.float32)
+            scan_mask = jnp.stack([m, m[:, ::-1]], axis=0)   # (2, B, L)
         hs = _bilstm_scan(x_proj, w_hh, b_hh, H, self.dtype,
-                          unroll=self.unroll or None)                 # (2, B, L, H)
+                          unroll=self.unroll or None,
+                          mask=scan_mask)                    # (2, B, L, H)
         fwd_h = hs[0]
         bwd_h = hs[1][:, ::-1, :]
         return jnp.concatenate([fwd_h, bwd_h], axis=-1).astype(self.dtype)

@@ -23,14 +23,20 @@ Exactness contract (tested in tests/test_serving.py):
     the 128-padded model produces — additive `-10000` key masks make padding
     keys invisible, and padding QUERIES only affect padding outputs, which
     the CRF decode masks out. For the "ip"/"cl" gate_cl variants bucketed
-    decode is therefore bit-identical to 128-padded decode.
+    decode is therefore bit-identical to 128-padded decode, unconditionally.
   - The "gate_cl" variant's relation gate flattens all 128 positions —
     including padding-position activations — into one feature vector
     (`gate_cl_modeling.py:1258`; a padding-artifact quirk of the reference).
-    Bucketed serving zero-fills the missing positions instead (see
-    `GateCLModel`), which shifts the scalar relevance gate P slightly; the
-    decoded-tag agreement contract for this variant is asserted
-    statistically (>99% tag agreement on random inputs) rather than bitwise.
+    With `GateCLConfig.masked_crs=True` (the serving-exactness mode) the
+    masked positions are zeroed before the flatten and bucketed decode is
+    bit-identical too; with the reference-quirk default (False) the scalar
+    relevance gate P shifts slightly and the contract is statistical
+    (asserted ≥0.9 tag agreement on random tiny models).
+  - The flagship's only inexact path was the unmasked BiLSTM backward scan
+    (torch parity: the reference scans the padding tail). With
+    `ICKAConfig.masked_lstm=True` padding timesteps hold the recurrent
+    state and bucketed flagship decode is bit-identical at valid positions;
+    the default (False) carries the same statistical contract.
 
 Throughput accounting for benchmarks lives in bench.py (per-bucket chained
 device timing, weighted by the bucket shares of the length distribution).
@@ -222,11 +228,12 @@ class BucketedICKAServer:
         ``clip_features`` (C,) or (1, C)
 
     One parameter tree (init'd at any padded length) serves every bucket:
-    `ICKAModel` parameter shapes are length-independent. Decode contract
-    mirrors the gate_cl server: valid-prefix tags agree with the
-    128-padded reference layout statistically (the BiLSTM backward scan
-    enters the valid region through a shorter padding tail), asserted in
-    tests/test_serving.py.
+    `ICKAModel` parameter shapes are length-independent. Decode contract:
+    BIT-EXACT valid-prefix tags vs the 128-padded layout when the model is
+    built with `masked_lstm=True` (the serving-exactness mode); with the
+    torch-parity default the contract is statistical (the BiLSTM backward
+    scan enters the valid region through a shorter padding tail). Both
+    asserted in tests/test_serving.py.
     """
 
     def __init__(self, model, params,
@@ -342,7 +349,8 @@ class BucketedICKAServer:
 
 
 def sample_tweet_lengths(n: int, rng: np.random.Generator,
-                         max_len: int = 128) -> np.ndarray:
+                         max_len: int = 128,
+                         median: float = 22.0) -> np.ndarray:
     """Synthetic stand-in for the Twitter-2015 subtoken-length distribution.
 
     The real datasets are not distributed with the reference (SURVEY §6);
@@ -350,8 +358,11 @@ def sample_tweet_lengths(n: int, rng: np.random.Generator,
     byte-level BPE (~1.3 subtokens/token) plus <s>/</s> that is ~24
     subtokens. This samples a clipped lognormal with that mean (p50 ≈ 22,
     p95 ≈ 52) so bucketed-serving benchmarks run against a realistic, fully
-    documented length mix rather than the all-128 worst case. Benchmarks
-    that use it must record the distribution alongside the number.
+    documented length mix rather than the all-128 worst case. Because the
+    distribution is assumed rather than measured, benchmarks that use it
+    must record the distribution alongside the number AND a sensitivity
+    band — the `median` parameter shifts the location (±20% covers the
+    plausible range of real tweet corpora) while keeping the shape.
     """
-    lens = np.exp(rng.normal(np.log(22.0), 0.45, n)) + 2
+    lens = np.exp(rng.normal(np.log(median), 0.45, n)) + 2
     return np.clip(lens.astype(np.int64), 5, max_len)

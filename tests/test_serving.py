@@ -114,6 +114,37 @@ def test_bucketed_gate_cl_agreement():
     assert agree / total >= 0.9, f"tag agreement {agree}/{total}"
 
 
+def test_bucketed_gate_cl_exact_with_masked_crs():
+    """Serving-exactness mode (`GateCLConfig.masked_crs`): zeroing the
+    masked positions of the relation-classifier input makes the gate_cl
+    variant's bucketed decode BIT-IDENTICAL to the full-pad layout — the
+    quirky flatten was the only inexact path (VERDICT r03 next #5)."""
+    import dataclasses
+
+    enc = EncoderConfig.tiny()
+    cfg = GateCLConfig(encoder=enc, num_labels=5, layer_num1=1,
+                       region_dim=32, max_seq_length=MAXL,
+                       variant="gate_cl", negative_rate=2, masked_crs=True)
+    model = GateCLModel(cfg)
+    B = 2
+    ids = np.ones((B, MAXL), np.int32)
+    params = model.init(jax.random.PRNGKey(0), ids,
+                        np.zeros((B, MAXL), np.int32),
+                        np.ones((B, MAXL), np.int32),
+                        np.ones((B, cfg.num_regions), np.int32),
+                        np.zeros((B, cfg.region_dim), np.float32),
+                        np.zeros((B, 7, 7, cfg.region_dim), np.float32))
+    rng = np.random.default_rng(2)
+    exs = _examples(16, rng)
+    srv = BucketedGateCLServer(model, params, buckets=(8, MAXL),
+                               max_batch=4)
+    tags, _ = srv.predict(exs)
+    pad_id = cfg.encoder.pad_token_id
+    for ex, t in zip(exs, tags):
+        ref = _full_pad_reference(model, params, ex, pad_id)
+        np.testing.assert_array_equal(t, ref)
+
+
 def test_truncation_and_lengths():
     model, params = _model("ip")
     rng = np.random.default_rng(3)
@@ -234,6 +265,58 @@ def test_icka_length_flexible():
     assert tags_short.shape == (B, 16)
     agree = (tags_short[:, :TL] == tags_full[:, :TL]).mean()
     assert agree >= 0.9, f"valid-prefix tag agreement {agree}"
+
+
+def test_icka_bucketed_exact_with_masked_lstm():
+    """Serving-exactness mode (`ICKAConfig.masked_lstm`): with the BiLSTM
+    holding state at padding timesteps, bucketed flagship decode is
+    BIT-IDENTICAL to the full-pad layout at valid positions — the backward
+    scan was the only inexact path (the gate reads position 0, attention
+    masks are additive, CRF decode carries identity backpointers through
+    padding). VERDICT r03 next #5."""
+    import dataclasses
+
+    from icka_tpu.core.config import ICKAConfig
+    from icka_tpu.models.icka import ICKAModel
+
+    cfg = dataclasses.replace(ICKAConfig.tiny(), masked_lstm=True)
+    model = ICKAModel(cfg)
+    offset, mask_positions = 14, (3, 11)
+    rng = np.random.default_rng(5)
+    B, TL = 4, 12
+
+    full = _icka_batch(cfg, B, offset, 32, rng, true_len=TL)
+    params = model.init(jax.random.PRNGKey(0), full, mask_positions,
+                        offset, mode="test")
+    tags_full = np.asarray(model.apply(params, full, mask_positions,
+                                       offset, mode="test"))
+
+    short = {k: (v[:, :offset + 16] if k in ("input_ids", "segment_ids",
+                                             "input_mask")
+                 else v[:, :16] if k in ("ori_input_ids", "ori_input_mask",
+                                         "ori_segment_ids", "output_mask")
+                 else v)
+             for k, v in full.items()}
+    tags_short = np.asarray(model.apply(params, short, mask_positions,
+                                        offset, mode="test"))
+    np.testing.assert_array_equal(tags_short[:, :TL], tags_full[:, :TL])
+
+
+def test_bilstm_mask_holds_state():
+    """Masked BiLSTM contract: outputs at valid positions of a padded
+    sequence equal the unmasked BiLSTM run on the exact-length slice."""
+    from icka_tpu.nn.lstm import BiLSTM
+
+    rng = np.random.default_rng(9)
+    B, L, TL, D, H = 3, 10, 6, 8, 4
+    x = rng.standard_normal((B, L, D)).astype(np.float32)
+    mask = np.zeros((B, L), np.int32)
+    mask[:, :TL] = 1
+    m = BiLSTM(hidden=H)
+    params = m.init(jax.random.PRNGKey(0), x)
+    padded = np.asarray(m.apply(params, x, mask))
+    exact = np.asarray(m.apply(params, x[:, :TL]))
+    np.testing.assert_allclose(padded[:, :TL], exact, rtol=1e-6, atol=1e-6)
 
 
 def _icka_examples(n, cfg, offset, rng, max_len=32):
