@@ -134,11 +134,13 @@ class GateCLTrainer:
         return step
 
     def fit(self, train_loader, dev_loader=None, epochs=1, rng=None,
-            state=None, checkpointer=None, log=print):
+            state=None, checkpointer=None, log=print,
+            preemption_guard=None):
         rng = rng if rng is not None else jax.random.PRNGKey(
             self.train_cfg.seed)
         if self._train_step is None:
             self._train_step = self.make_train_step()
+        steps_per_epoch = len(train_loader)
         if state is None:
             sample = next(iter(train_loader.eval_view()))
             sample = dict(sample)
@@ -149,17 +151,39 @@ class GateCLTrainer:
                 (B, 7, 7, self.model_cfg.region_dim), np.float32)
             rng, k = jax.random.split(rng)
             state = self.init_state(k, sample,
-                                    total_steps=len(train_loader) * epochs)
-        best = -1.0
+                                    total_steps=steps_per_epoch * epochs)
+        # mid-run resume + preemption snapshots, same semantics as
+        # ICKATrainer.fit (global-step-numbered snapshots, one namespace)
+        start_epoch, skip_batches = 0, 0
+        if checkpointer is not None and checkpointer.manifest["steps"]:
+            state, ck_step = checkpointer.resume(state)
+            start_epoch = ck_step // steps_per_epoch
+            skip_batches = ck_step % steps_per_epoch
+            log(f"resumed from step {ck_step} "
+                f"(epoch {start_epoch}, batch {skip_batches})")
+        best = (checkpointer.manifest["best_metric"]
+                if checkpointer is not None
+                and checkpointer.manifest["best_metric"] is not None
+                else -1.0)
         history = []
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             losses = []
-            for batch in train_loader:
+            for i, batch in enumerate(train_loader):
                 rng, k = jax.random.split(rng)
+                if epoch == start_epoch and i < skip_batches:
+                    continue
+                if preemption_guard is not None and \
+                        preemption_guard.requested:
+                    step_no = int(jax.device_get(state.step))
+                    if checkpointer is not None:
+                        checkpointer.save(state, step=step_no)
+                    log(f"preempted: saved step {step_no}, exiting fit")
+                    return state, history
                 batch = shard_accum_batch(self.mesh, batch)
                 state, loss = self._train_step(state, batch, k)
                 losses.append(loss)
-            train_loss = float(jnp.mean(jnp.stack(losses)))
+            train_loss = float(jnp.mean(jnp.stack(losses))) \
+                if losses else float("nan")
             history.append(train_loss)
             msg = f"epoch {epoch}: train_loss={train_loss:.4f}"
             if dev_loader is not None:
@@ -168,7 +192,9 @@ class GateCLTrainer:
                 if res.f1 > best:
                     best = res.f1
                     if checkpointer is not None:
-                        checkpointer.save(state, step=epoch, metric=res.f1)
+                        checkpointer.save(
+                            state, step=int(jax.device_get(state.step)),
+                            metric=res.f1)
             log(msg)
         return state, history
 

@@ -263,12 +263,32 @@ class ICKATrainer:
         if self._train_step is None:
             self._train_step = self.make_train_step()
 
-        best_f1 = -1.0
+        # mid-run resume (reference cannot: SURVEY §5): any step snapshot
+        # in the checkpointer (periodic or preemption) restores params,
+        # optimizer moments AND the global step; the loop then continues
+        # at the right epoch/batch. All snapshots are numbered by the
+        # GLOBAL optimizer step (one namespace — an epoch-end save and a
+        # preemption save can never collide).
+        start_epoch, skip_batches = 0, 0
+        if checkpointer is not None and checkpointer.manifest["steps"]:
+            state, ck_step = checkpointer.resume(state)
+            start_epoch = ck_step // steps_per_epoch
+            skip_batches = ck_step % steps_per_epoch
+            log(f"resumed from step {ck_step} "
+                f"(epoch {start_epoch}, batch {skip_batches})")
+
+        best_f1 = (checkpointer.manifest["best_metric"]
+                   if checkpointer is not None
+                   and checkpointer.manifest["best_metric"] is not None
+                   else -1.0)
         history = []
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             t0 = time.time()
             losses = []
-            for batch in train_loader:
+            for i, batch in enumerate(train_loader):
+                rng, k = jax.random.split(rng)   # keep the stream aligned
+                if epoch == start_epoch and i < skip_batches:
+                    continue                      # already trained pre-resume
                 if preemption_guard is not None and \
                         preemption_guard.requested:
                     # preemption: snapshot the last COMPLETED step and
@@ -279,11 +299,11 @@ class ICKATrainer:
                         checkpointer.save(state, step=step_no)
                     log(f"preempted: saved step {step_no}, exiting fit")
                     return state, history
-                rng, k = jax.random.split(rng)
                 batch = shard_accum_batch(self.mesh, batch)
                 state, loss = self._train_step(state, batch, k)
                 losses.append(loss)
-            train_loss = float(jnp.mean(jnp.stack(losses)))
+            train_loss = float(jnp.mean(jnp.stack(losses))) \
+                if losses else float("nan")
             msg = (f"epoch {epoch}: train_loss={train_loss:.4f} "
                    f"({time.time() - t0:.1f}s)")
             if dev_loader is not None:
@@ -293,8 +313,9 @@ class ICKATrainer:
                 if result.f1 > best_f1:
                     best_f1 = result.f1
                     if checkpointer is not None:
-                        checkpointer.save(state, step=epoch,
-                                          metric=result.f1)
+                        checkpointer.save(
+                            state, step=int(jax.device_get(state.step)),
+                            metric=result.f1)
             log(msg)
             history.append(train_loss)
         return state, history
