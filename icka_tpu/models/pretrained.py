@@ -1,0 +1,274 @@
+"""Local pretrained-model resolution: one-call config + weights discovery.
+
+Rebuilds the *capability* of the reference's pretrained-weights plumbing —
+`my_bert/file_utils.py:97-262` (`cached_path`: name→archive resolution with
+an on-disk cache) and `Cross_Modal_Interaction_Module.py:169-268`
+(`from_pretrained`: optional tar.gz extraction, config.json parse,
+state-dict load with gamma/beta renames) — for a zero-egress TPU
+deployment. Names resolve against LOCAL storage only:
+
+  - an explicit directory or file path, or
+  - a bare model name (e.g. ``"roberta-large"``) looked up under the cache
+    root ``$ICKA_PRETRAINED_DIR`` (default ``~/.cache/icka_tpu``), the
+    analogue of the reference's ``PYTORCH_PRETRAINED_BERT_CACHE``
+    (`my_bert/file_utils.py:41-44`).
+
+Supported checkpoint dialects (all converted through
+:mod:`icka_tpu.models.convert` / :mod:`icka_tpu.models.tf_convert`):
+
+  - HF directory: ``config.json`` + ``pytorch_model.bin`` or
+    ``model.safetensors`` (BERT/RoBERTa key layouts, gamma/beta renames
+    handled by the converter);
+  - native directory: ``config.json`` + ``params.msgpack`` as written by
+    :func:`save_text_encoder` — loads without torch;
+  - ``.tar.gz`` archive containing either layout, extracted once into the
+    cache root and reused (the reference extracts to a fresh tempdir per
+    load, `Cross_Modal_Interaction_Module.py:195-208`);
+  - torchvision ResNet ``.pth`` state dict (:func:`load_backbone`);
+  - TF-1.x BERT checkpoint prefix (``model.ckpt.index`` + data shards),
+    read natively without tensorflow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tarfile
+from typing import Optional, Tuple
+
+import numpy as np
+
+CACHE_ENV = "ICKA_PRETRAINED_DIR"
+WEIGHTS_TORCH = "pytorch_model.bin"
+WEIGHTS_SAFETENSORS = "model.safetensors"
+WEIGHTS_NATIVE = "params.msgpack"
+CONFIG_NAME = "config.json"
+
+
+def cache_root() -> str:
+    return os.environ.get(
+        CACHE_ENV, os.path.join(os.path.expanduser("~"), ".cache",
+                                "icka_tpu"))
+
+
+def _extract_archive(path: str, cache_dir: Optional[str]) -> str:
+    """Extract a local .tar.gz once into the cache and reuse it.
+
+    The cache key hashes the archive's identity (path, size, mtime) — the
+    local-filesystem analogue of the reference's URL+etag key
+    (`my_bert/file_utils.py:63-72`). A ``.done`` stamp makes partially
+    extracted directories (crash mid-extract) invisible.
+    """
+    st = os.stat(path)
+    key = hashlib.sha256(
+        f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}"
+        .encode()).hexdigest()[:24]
+    root = cache_dir or cache_root()
+    dst = os.path.join(root, "extracted", key)
+    stamp = dst + ".done"
+    if not os.path.exists(stamp):
+        os.makedirs(dst, exist_ok=True)
+        with tarfile.open(path, "r:*") as tf:
+            tf.extractall(dst, filter="data")
+        with open(stamp, "w") as f:
+            f.write(os.path.abspath(path))
+    # archives often wrap a single top-level directory — descend into it
+    entries = [e for e in os.listdir(dst) if not e.startswith(".")]
+    if len(entries) == 1 and os.path.isdir(os.path.join(dst, entries[0])):
+        return os.path.join(dst, entries[0])
+    return dst
+
+
+def resolve(name_or_path: str, cache_dir: Optional[str] = None) -> str:
+    """Resolve a model name/path to a local directory holding its files.
+
+    Resolution order (mirrors `my_bert/file_utils.py:97-124`, minus the
+    network): existing directory as-is → existing ``.tar.gz`` archive
+    (extract to cache) → bare name under the cache root (directory or
+    ``<name>.tar.gz``). Raises ``FileNotFoundError`` with the searched
+    locations otherwise — the reference logs and returns None
+    (`Cross_Modal_Interaction_Module.py:180-190`); failing loudly is
+    strictly more debuggable.
+    """
+    if os.path.isdir(name_or_path):
+        return name_or_path
+    if os.path.isfile(name_or_path) and name_or_path.endswith(
+            (".tar.gz", ".tgz")):
+        return _extract_archive(name_or_path, cache_dir)
+    root = cache_dir or cache_root()
+    candidates = [os.path.join(root, name_or_path),
+                  os.path.join(root, name_or_path + ".tar.gz")]
+    for c in candidates:
+        if os.path.isdir(c):
+            return c
+        if os.path.isfile(c):
+            return _extract_archive(c, cache_dir)
+    raise FileNotFoundError(
+        f"pretrained model '{name_or_path}' not found; looked for a "
+        f"directory/archive at that path and under {root} "
+        f"(set ${CACHE_ENV} to change the cache root)")
+
+
+def encoder_config_from_hf(d: dict) -> "EncoderConfig":
+    """HF ``config.json`` dict → :class:`EncoderConfig`.
+
+    ``position_offset`` — the RoBERTa padding-reserved position shift the
+    driver depends on (`nn/bert.py:27-39`) — is derived from the config:
+    pad_token_id + 1 for roberta-family models, 0 for BERT-style.
+    """
+    from icka_tpu.core.config import EncoderConfig
+
+    model_type = d.get("model_type", "")
+    is_roberta = model_type == "roberta" or (
+        not model_type and d.get("vocab_size", 0) >= 50000
+        and d.get("pad_token_id", 0) == 1)
+    pad = d.get("pad_token_id", 1 if is_roberta else 0)
+    fields = dict(
+        vocab_size=d.get("vocab_size", 50265),
+        hidden_size=d.get("hidden_size", 1024),
+        num_hidden_layers=d.get("num_hidden_layers", 24),
+        num_attention_heads=d.get("num_attention_heads", 16),
+        intermediate_size=d.get("intermediate_size", 4096),
+        max_position_embeddings=d.get("max_position_embeddings", 514),
+        type_vocab_size=d.get("type_vocab_size", 2),
+        hidden_dropout_prob=d.get("hidden_dropout_prob", 0.1),
+        attention_probs_dropout_prob=d.get(
+            "attention_probs_dropout_prob", 0.1),
+        layer_norm_eps=d.get("layer_norm_eps", 1e-5),
+        pad_token_id=pad,
+        position_offset=(pad + 1) if is_roberta else 0,
+    )
+    return EncoderConfig(**fields)
+
+
+def _load_state_dict(directory: str) -> dict:
+    """Read a torch-dialect state dict from a resolved directory."""
+    st_path = os.path.join(directory, WEIGHTS_SAFETENSORS)
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        return load_file(st_path)
+    bin_path = os.path.join(directory, WEIGHTS_TORCH)
+    if os.path.exists(bin_path):
+        import torch
+
+        return torch.load(bin_path, map_location="cpu", weights_only=True)
+    raise FileNotFoundError(
+        f"no weights in {directory}: expected {WEIGHTS_NATIVE}, "
+        f"{WEIGHTS_SAFETENSORS} or {WEIGHTS_TORCH}")
+
+
+def load_text_encoder(name_or_path: str,
+                      cache_dir: Optional[str] = None,
+                      **config_overrides) -> Tuple["EncoderConfig", dict]:
+    """One call: resolve → config → converted params for ``TextEncoder``.
+
+    The `from_pretrained` surface the reference builds over four files
+    (`Cross_Modal_Interaction_Module.py:169-268`). ``config_overrides``
+    replace EncoderConfig fields after the config.json parse (runtime
+    knobs — quant/use_pallas/remat — are deployment choices, not
+    checkpoint properties).
+    """
+    import dataclasses
+
+    from icka_tpu.models.convert import encoder_params_from_torch
+
+    directory = resolve(name_or_path, cache_dir)
+    cfg_path = os.path.join(directory, CONFIG_NAME)
+    if not os.path.exists(cfg_path):
+        raise FileNotFoundError(f"no {CONFIG_NAME} in {directory}")
+    with open(cfg_path) as f:
+        cfg_dict = json.load(f)
+
+    native = os.path.join(directory, WEIGHTS_NATIVE)
+    if cfg_dict.get("format") == "icka_tpu" or os.path.exists(native):
+        from flax import serialization
+
+        from icka_tpu.core.config import EncoderConfig, _from_dict
+
+        cfg = _from_dict(EncoderConfig, cfg_dict.get("config", cfg_dict))
+        with open(native, "rb") as f:
+            params = serialization.msgpack_restore(f.read())
+    else:
+        cfg = encoder_config_from_hf(cfg_dict)
+        sd = _load_state_dict(directory)
+        prefix = ""
+        if any(k.startswith("roberta.") for k in sd):
+            prefix = "roberta."
+        elif any(k.startswith("bert.") for k in sd):
+            prefix = "bert."
+        params = encoder_params_from_torch(sd, cfg.num_hidden_layers,
+                                           prefix=prefix)
+    if config_overrides:
+        cfg = dataclasses.replace(cfg, **config_overrides)
+    return cfg, params
+
+
+def save_text_encoder(dst_dir: str, cfg, params) -> None:
+    """Write the native layout :func:`load_text_encoder` reads without
+    torch: ``config.json`` (tagged ``format: icka_tpu``) + ``params.msgpack``.
+    """
+    import dataclasses
+
+    from icka_tpu.core.checkpoint import save_pytree
+
+    os.makedirs(dst_dir, exist_ok=True)
+    with open(os.path.join(dst_dir, CONFIG_NAME), "w") as f:
+        json.dump({"format": "icka_tpu",
+                   "config": dataclasses.asdict(cfg)}, f, indent=2)
+    save_pytree(os.path.join(dst_dir, WEIGHTS_NATIVE), params)
+
+
+def load_backbone(name_or_path: str,
+                  cache_dir: Optional[str] = None) -> dict:
+    """Resolve + convert visual-backbone weights → ``VisualBackbone``
+    variables ({"params", "batch_stats"}).
+
+    Accepts a torchvision ``.pth``/``.bin`` state-dict file (the
+    reference's ``resnet152.pth``, `My_cross_attention.py:762-763`), a
+    directory containing one, or a native msgpack written by
+    ``cli/convert.py``.
+    """
+    from flax import serialization
+
+    path = name_or_path
+    if not os.path.exists(path):
+        path = resolve(name_or_path, cache_dir)
+    if os.path.isdir(path):
+        for fname in ("resnet.msgpack", "resnet152.pth",
+                      "pytorch_resnet.bin"):
+            cand = os.path.join(path, fname)
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            raise FileNotFoundError(f"no backbone weights in {path}")
+    if path.endswith(".msgpack"):
+        with open(path, "rb") as f:
+            return serialization.msgpack_restore(f.read())
+    import torch
+
+    from icka_tpu.models.resnet import resnet_params_from_torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "net" in sd:
+        sd = sd["net"]
+    return resnet_params_from_torch(sd)
+
+
+def load_tf_encoder(ckpt_prefix: str) -> dict:
+    """TF-1.x BERT checkpoint prefix → TextEncoder params (component #14
+    path, no tensorflow import)."""
+    from icka_tpu.models.tf_convert import (
+        encoder_params_from_tf,
+        read_tf_checkpoint,
+    )
+
+    if ckpt_prefix.endswith(".index"):
+        ckpt_prefix = ckpt_prefix[:-len(".index")]
+    tfvars = read_tf_checkpoint(ckpt_prefix)
+    layers = 1 + max(
+        int(name.split("/")[2].split("_")[1])
+        for name in tfvars if name.startswith("bert/encoder/layer_"))
+    return encoder_params_from_tf(tfvars, layers)
