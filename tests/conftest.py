@@ -45,6 +45,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compile cache (VERDICT r03 next #8): the heavy parity/SPMD
+# suites are compile-bound on this 1-core host; warm reruns skip XLA
+# compilation entirely. Kept separate from the TPU cache (.jax_cache).
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np
 import pytest

@@ -29,6 +29,11 @@ import torch.nn as tnn
 
 import jax
 
+# full torch-composite + fp32 HIGHEST-precision compiles: the slow
+# proof tier. Component parity (encoders/CRF/InfoNCE/splice) stays in
+# the fast tier.
+pytestmark = pytest.mark.slow
+
 from icka_tpu.core.config import EncoderConfig, ICKAConfig
 from icka_tpu.models.convert import (
     cross_encoder_params_from_torch,

@@ -93,6 +93,8 @@ def _loss_on_mesh(data_axis: int, model_axis: int) -> float:
     return float(loss)
 
 
+@pytest.mark.slow  # three mesh-shape compiles; the fast tier covers one
+# sharded DP×TP step via tests/test_train.py::test_sharded_train_step_dp_tp
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_mesh_grid_loss_equality():
     """DP-only and DP×TP meshes at 2/4/8 devices all compute the same

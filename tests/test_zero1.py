@@ -66,6 +66,7 @@ def _run_steps(zero1: bool, n_steps: int = 2):
     return state, losses
 
 
+@pytest.mark.slow  # two full-graph 8-device mesh compiles (~min each cold)
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_zero1_matches_replicated_and_shards_moments():
     state_z, losses_z = _run_steps(zero1=True)
