@@ -107,12 +107,23 @@ def crf_log_likelihood(emissions, tags, mask, start, end, trans,
     raise ValueError(f"unknown reduction {reduction!r}")
 
 
-def crf_decode(emissions, mask, start, end, trans):
+def crf_decode(emissions, mask, start, end, trans, reset=None):
     """Batched masked Viterbi. Returns (B, L) int32 best-path tags.
 
     Masked steps carry scores unchanged and record identity backpointers, so
     the backward trace passes through padding transparently; positions past a
     sequence's end hold the tag at its last valid step.
+
+    `reset` (B, L) {0,1}, optional — sequence-PACKING support: a set bit at
+    position t>0 marks the first token of a new packed segment. The Viterbi
+    lattice is cut there: the score restarts as `start + emissions[t]`
+    (no transition from the previous segment), and the backpointer at t
+    re-seeds the backward trace with the PREVIOUS segment's best final tag,
+    argmax(score + end) — so one (B, L) decode yields every packed
+    segment's independent Viterbi path, bit-identical to decoding each
+    segment alone, at the cost of a single unpacked decode. Used by
+    `icka_tpu.serving.packing`; reset[:, 0] is ignored (position 0 always
+    starts a segment).
     """
     emissions, mask, start, end, trans = _as_jnp(
         emissions, mask, start, end, trans)
@@ -123,16 +134,32 @@ def crf_decode(emissions, mask, start, end, trans):
     ident = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None, :], (B, T))
 
     def step(score, xs):
-        em_t, m_t = xs
+        if reset is None:
+            em_t, m_t = xs
+        else:
+            em_t, m_t, r_t = xs
         cand = score[:, :, None] + trans[None] + em_t[:, None, :]  # (B,prev,next)
         best_prev = jnp.argmax(cand, axis=1).astype(jnp.int32)     # (B, next)
         best_score = jnp.max(cand, axis=1)
         new_score = jnp.where(m_t[:, None], best_score, score)
         bp = jnp.where(m_t[:, None], best_prev, ident)
+        if reset is not None:
+            # previous segment's best final tag (end transitions applied
+            # HERE, exactly once per segment — the restart replaces the
+            # running score entirely, so nothing double-counts)
+            seg_last = jnp.argmax(score + end[None, :], axis=1) \
+                .astype(jnp.int32)                                 # (B,)
+            new_score = jnp.where(r_t[:, None],
+                                  start[None, :] + em_t, new_score)
+            bp = jnp.where(r_t[:, None],
+                           jnp.broadcast_to(seg_last[:, None], (B, T)), bp)
         return new_score, bp
 
     xs = (jnp.moveaxis(emissions[:, 1:], 1, 0),
           jnp.moveaxis(maskb[:, 1:], 1, 0))
+    if reset is not None:
+        xs = xs + (jnp.moveaxis(jnp.asarray(reset)[:, 1:], 1, 0)
+                   .astype(bool),)
     # unroll amortizes TPU loop overhead: the per-step (B,T,T) compute is
     # tiny relative to loop iteration cost at small tag counts
     final_score, history = jax.lax.scan(step, score, xs, unroll=scan_unroll())
@@ -280,13 +307,17 @@ class CRF(nn.Module):
         return crf_log_likelihood(emissions, tags, mask, start, end, trans,
                                   reduction=reduction)
 
-    def decode(self, emissions, mask, parallel: bool = False):
+    def decode(self, emissions, mask, parallel: bool = False, reset=None):
         """Viterbi decode. `parallel=True` switches to the log-depth
         associative-scan implementation — measured on v5e it only pays off
         for LARGE tag sets: at T=15 the (T, T) max-plus tensors pad to the
         128-lane tile and the sequential scan (≈2.7 ms at B=64, L=128) is
-        ~5 ms faster end-to-end."""
+        ~5 ms faster end-to-end. `reset` (B, L) cuts the lattice at packed
+        segment starts (see `crf_decode`; sequential path only)."""
         start, end, trans = self._params()
+        if reset is not None:
+            return crf_decode(emissions, mask, start, end, trans,
+                              reset=reset)
         fn = crf_decode_parallel if parallel else crf_decode
         return fn(emissions, mask, start, end, trans)
 

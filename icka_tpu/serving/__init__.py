@@ -1,4 +1,4 @@
-"""Serving-time machinery: length-bucketed batch dispatch."""
+"""Serving-time machinery: length-bucketed and sequence-packed dispatch."""
 
 from icka_tpu.serving.bucketed import (  # noqa: F401
     BucketedGateCLServer,
@@ -6,4 +6,9 @@ from icka_tpu.serving.bucketed import (  # noqa: F401
     ServingStats,
     pick_bucket,
     sample_tweet_lengths,
+)
+from icka_tpu.serving.packing import (  # noqa: F401
+    PackedGateCLServer,
+    PackedStats,
+    pack_first_fit,
 )

@@ -1,0 +1,240 @@
+"""Sequence-packed serving engine for the gate_cl model family.
+
+Length-bucketed serving (`icka_tpu.serving.bucketed`) stops paying
+128-token cost for 17-token tweets, but still pays bucket-granularity
+padding: a 17-token tweet runs in a 24-token program (~30% pad), and each
+request occupies a full batch row. PACKING removes the residual tax by
+concatenating several short requests into one row of a single fixed-shape
+program, with exact isolation between them:
+
+  - block-diagonal self-attention — a token's keys are exactly its own
+    sentence's tokens (`GateCLModel.forward_packed`);
+  - per-slot visual keys — every sentence cross-attends ONLY to its own
+    image's 49 regions;
+  - per-segment position ids, host-computed in the encoder's dialect;
+  - the Viterbi lattice is cut at segment starts
+    (`icka_tpu.nn.crf.crf_decode(reset=...)`), so one (B, L) decode
+    yields every packed sentence's independent best path — no per-segment
+    gather, no extra decode cost.
+
+The relation gate of the "gate_cl" variant runs with the
+`masked_crs=True` exactness semantics (missing positions contribute exact
+zeros to its flatten); the reference-quirk padding-tail flatten has no
+packed analogue. "cl"/"ip" variants are exact against the same semantics
+they always had.
+
+The reference has no serving engine at all (`My_cross_attention.py:375-427`
+pads everything to 128); this file's comparison target is the bucketed
+engine, which it beats by filling rows to ~95% instead of ~75%
+(bench.py --model gate_cl_packed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class PackedStats:
+    """Packing efficiency accounting for one predict() call."""
+
+    pairs: int
+    rows: int
+    batches: int
+    token_fill: float      # valid tokens / (rows * row_len)
+    slot_fill: float       # segments / (rows * max_slots)
+
+
+def pack_first_fit(lengths: Sequence[int], row_len: int,
+                   max_slots: int) -> list:
+    """First-fit-decreasing bin packing of segment lengths into rows.
+
+    Returns a list of rows, each a list of request indices. Rows hold at
+    most `max_slots` segments and at most `row_len` total tokens. FFD is
+    within ~2% of optimal fill for lognormal tweet lengths and is O(n·rows)
+    with a trivial constant — sub-millisecond for serving-sized batches.
+    """
+    order = sorted(range(len(lengths)), key=lambda i: -lengths[i])
+    rows: list = []
+    space: list = []
+    slots: list = []
+    for i in order:
+        ln = lengths[i]
+        for r in range(len(rows)):
+            if space[r] >= ln and slots[r] < max_slots:
+                rows[r].append(i)
+                space[r] -= ln
+                slots[r] += 1
+                break
+        else:
+            rows.append([i])
+            space.append(row_len - ln)
+            slots.append(1)
+    return rows
+
+
+class PackedGateCLServer:
+    """Packed inference for `GateCLModel` (gate_cl/cl/ip variants).
+
+    Parameters
+    ----------
+    model: `GateCLModel` built at the deployment max_seq_length (the crs
+        flatten width for the "gate_cl" variant).
+    params: model variables (fp32 / int8 / int8_static trees all work).
+    row_len: packed row length — the one compiled sequence length. 128
+        (the default, = reference max_seq_length) wastes nothing on
+        truncation; shorter rows trade quadratic attention cost against
+        packing freedom (measure with bench.py --model gate_cl_packed
+        --row_len).
+    max_slots: segments per row the compiled program supports. Mean tweets
+        are ~26 subtokens, so 6 slots fill a 128-token row with headroom;
+        raising it grows the per-slot visual tensor (B, S, 7, 7, R) and
+        the crs gather linearly.
+    max_batch: rows per device batch.
+
+    Requests longer than `row_len` tokens are truncated to `row_len`
+    (the reference truncates to max_seq_length the same way,
+    `My_cross_attention.py:311-315`).
+    """
+
+    def __init__(self, model, params, row_len: int = 128,
+                 max_slots: int = 6, max_batch: int = 128):
+        self.model = model
+        self.params = params
+        self.row_len = int(row_len)
+        self.max_slots = int(max_slots)
+        self.max_batch = int(max_batch)
+        self._fn: Callable | None = None
+
+    # -- device program ----------------------------------------------------
+
+    def _apply_fn(self) -> Callable:
+        if self._fn is None:
+            model = self.model
+
+            @jax.jit
+            def fn(params, ids, pos, types, slot, valid, seg_start,
+                   img_mask, visual_grid, seg_gather):
+                return model.apply(params, ids, pos, types, slot, valid,
+                                   seg_start, img_mask, visual_grid,
+                                   seg_gather,
+                                   method=model.forward_packed)
+
+            self._fn = fn
+        return self._fn
+
+    def _position_ids(self, length: int) -> np.ndarray:
+        """The positions this segment would see if it ran alone: RoBERTa
+        dialect counts non-pad tokens offset by the padding index
+        (`nn/bert.py:27-39`), legacy BERT uses 0-based arange."""
+        cfg = self.model.cfg.encoder
+        if cfg.position_offset > 0:
+            return np.arange(1, length + 1, dtype=np.int32) \
+                + cfg.pad_token_id
+        return np.arange(length, dtype=np.int32)
+
+    def _empty_batch(self, B: int):
+        cfg = self.model.cfg
+        L, S = self.row_len, self.max_slots
+        return {
+            "ids": np.full((B, L), cfg.encoder.pad_token_id, np.int32),
+            "pos": np.zeros((B, L), np.int32),
+            "types": np.zeros((B, L), np.int32),
+            "slot": np.full((B, L), S, np.int32),      # sentinel slot
+            "valid": np.zeros((B, L), np.int32),
+            "seg_start": np.zeros((B, L), np.int32),
+            "img_mask": np.ones((B, S, cfg.num_regions), np.int32),
+            "visual_grid": np.zeros((B, S, 7, 7, cfg.region_dim),
+                                    np.float32),
+            "seg_gather": np.full((B, S, cfg.max_seq_length), L, np.int32),
+        }
+
+    def warmup(self) -> None:
+        b = self._empty_batch(self.max_batch)
+        b["valid"][:, 0] = 1
+        b["seg_start"][:, 0] = 1
+        b["slot"][:, 0] = 0
+        jax.block_until_ready(self._apply_fn()(
+            self.params, b["ids"], b["pos"], b["types"], b["slot"],
+            b["valid"], b["seg_start"], b["img_mask"], b["visual_grid"],
+            b["seg_gather"]))
+
+    # -- host packing ------------------------------------------------------
+
+    def build_batch(self, examples, lengths, chunk_rows):
+        """Materialize one device batch from packed rows.
+
+        `chunk_rows`: list (≤ max_batch) of rows from `pack_first_fit`,
+        each a list of example indices. Returns (arrays dict, spans list
+        of (row, example idx, start, length), valid token count).
+        """
+        b = self._empty_batch(self.max_batch)
+        spans: list = []
+        valid_tokens = 0
+        for r, segs in enumerate(chunk_rows):
+            cursor = 0
+            for s, i in enumerate(segs):
+                ex = examples[i]
+                ln = lengths[i]
+                a = cursor
+                b["ids"][r, a:a + ln] = np.asarray(
+                    ex["input_ids"][:ln], np.int32)
+                b["pos"][r, a:a + ln] = self._position_ids(ln)
+                if "segment_ids" in ex:
+                    b["types"][r, a:a + ln] = np.asarray(
+                        ex["segment_ids"][:ln], np.int32)
+                b["slot"][r, a:a + ln] = s
+                b["valid"][r, a:a + ln] = 1
+                b["seg_start"][r, a] = 1
+                if "img_mask" in ex:
+                    b["img_mask"][r, s] = np.asarray(
+                        ex["img_mask"], np.int32)
+                b["visual_grid"][r, s] = np.asarray(
+                    ex["visual_grid"], np.float32)
+                b["seg_gather"][r, s, :ln] = np.arange(
+                    a, a + ln, dtype=np.int32)
+                spans.append((r, i, a, ln))
+                cursor += ln
+            valid_tokens += cursor
+        return b, spans, valid_tokens
+
+    def predict(self, examples: Sequence[dict]):
+        """examples: same schema as `BucketedGateCLServer.predict`
+        (variable-length `input_ids`, optional `segment_ids`/`img_mask`,
+        per-example `visual_grid` (7, 7, R); `visual_mean` is accepted and
+        ignored — it only feeds the training-time contrastive heads).
+
+        Returns (tags, stats): `tags[i]` is 1-D int32 at the example's
+        true (possibly truncated) length.
+        """
+        cfg = self.model.cfg
+        L, S = self.row_len, self.max_slots
+        lengths = [min(len(ex["input_ids"]), L) for ex in examples]
+        rows = pack_first_fit(lengths, L, S)
+
+        fn = self._apply_fn()
+        results: list = [None] * len(examples)
+        batches = 0
+        valid_tokens = 0
+        for lo in range(0, len(rows), self.max_batch):
+            chunk = rows[lo:lo + self.max_batch]
+            b, spans, toks = self.build_batch(examples, lengths, chunk)
+            valid_tokens += toks
+            tags = np.asarray(fn(
+                self.params, b["ids"], b["pos"], b["types"], b["slot"],
+                b["valid"], b["seg_start"], b["img_mask"],
+                b["visual_grid"], b["seg_gather"]))
+            batches += 1
+            for r, i, a, ln in spans:
+                results[i] = tags[r, a:a + ln].astype(np.int32)
+        stats = PackedStats(
+            pairs=len(examples), rows=len(rows), batches=batches,
+            token_fill=valid_tokens / max(1, len(rows) * L),
+            slot_fill=len(examples) / max(1, len(rows) * S))
+        return results, stats
