@@ -164,6 +164,162 @@ class ConvBN(nn.Module):
         return y + fused_bias.astype(self.dtype)
 
 
+def _stem_s2d_scatter_indices():
+    """Index map turning the 7×7/s2 stem kernel (147, 64) into its
+    space-to-depth-4 equivalent (432, 4, 64).
+
+    Derivation: pad the 224² input by (3, 5) → 232² and space-to-depth by
+    4 → (58, 58, 48) blocks (channel = ρ·12 + σ·3 + c). Output row
+    i = 2I + p (I block, p∈{0,1} subpixel) reads padded rows 2i+u,
+    u∈0..6, i.e. blocks I..I+2 only — so the whole stem is an EXACT 3×3
+    stride-1 conv in block space with 9·48 = 432 input lanes and
+    4·64 = 256 output lanes (subpixel-major), followed by
+    depth-to-space(2). Tap (bu, ρ, p) holds kernel row u = 4bu + ρ − 2p
+    when 0 ≤ u ≤ 6 (zero otherwise); columns likewise. Every index here
+    is static, so the remap is a tiny gather at trace time.
+    """
+    dst_r, dst_pq, src = [], [], []
+    for bu in range(3):
+        for bv in range(3):
+            for rho in range(4):
+                for sig in range(4):
+                    for c in range(3):
+                        for p in range(2):
+                            u = 4 * bu + rho - 2 * p
+                            if not 0 <= u <= 6:
+                                continue
+                            for q in range(2):
+                                v = 4 * bv + sig - 2 * q
+                                if not 0 <= v <= 6:
+                                    continue
+                                dst_r.append((bu * 3 + bv) * 48
+                                             + rho * 12 + sig * 3 + c)
+                                dst_pq.append(p * 2 + q)
+                                src.append(u * 21 + v * 3 + c)
+    return (np.asarray(dst_r), np.asarray(dst_pq), np.asarray(src))
+
+
+_STEM_S2D_IDX = _stem_s2d_scatter_indices()
+
+
+class StemPoolS2D(nn.Module):
+    """7×7/s2 stem conv + ReLU + 3×3/s2 maxpool, computed entirely in
+    space-to-depth layout.
+
+    The naive stem is the worst op in the network on TPU: im2col of a
+    3-channel input materializes 49 strided views whose 3-lane (then
+    12-lane) layouts pad to 128-lane tiles — measured 13.1 ms / 1.1% MXU
+    for 128 images (tools/profile_resnet.py, r04). Space-to-depth-4 turns
+    it into one dense (B·56², 432) × (432, 256) MXU matmul (~0.9 ms of
+    int8 math) plus cheap reshapes; the maxpool then runs on the s2d
+    output directly — output row 2I+δ, δ∈{-1,0,1} lives in subpixel
+    planes (I,p0), (I,p1), (I−1,p1), so the pool is three shifted maxes
+    per axis and the stage emits the (B, 56, 56, 64) tensor layer1 wants
+    without ever materializing the 112² intermediate.
+
+    Parameter layout is IDENTICAL to `ConvBN(64, 7, 2, name="stem")` —
+    torchvision converters and existing checkpoints load unchanged
+    (`resnet/resnet.py:142-146` is the torch counterpart).
+
+    Exactness: int8 path is bit-identical to the im2col stem (same integer
+    products, integer accumulation); float paths agree to reordering
+    tolerance. Asserted in tests/test_resnet.py.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+    quant: str = "none"
+
+    @nn.compact
+    def __call__(self, x):
+        from icka_tpu.nn.layers import matmul_precision
+        B = x.shape[0]
+        F = 64
+        in_ch = 3
+        precision = matmul_precision(self.dtype)
+        dst_r, dst_pq, src = _STEM_S2D_IDX
+
+        if self.quant == "int8_static":
+            wmat = self.param("wq", nn.initializers.zeros,
+                              (49 * in_ch, F), jnp.int8)
+            w_s = self.param("w_scale",
+                             nn.initializers.constant(1.0 / 127.0),
+                             (F,), jnp.float32)
+            fused_bias = self.param("fused_bias", nn.initializers.zeros,
+                                    (F,), jnp.float32)
+            a_s = self.param("act_scale",
+                             nn.initializers.constant(1.0 / 127.0),
+                             (), jnp.float32)
+            xd = jnp.clip(jnp.round(x.astype(jnp.float32) / a_s),
+                          -127, 127).astype(jnp.int8)
+            int8_mode = True
+        else:
+            kernel = _ConvKernel((7, 7, in_ch, F), name="conv")()
+            scale = self.param("scale", nn.initializers.ones,
+                               (F,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (F,), jnp.float32)
+            mean = self.variable("batch_stats", "mean",
+                                 lambda: jnp.zeros(F, jnp.float32))
+            var = self.variable("batch_stats", "var",
+                                lambda: jnp.ones(F, jnp.float32))
+            inv = scale * jax.lax.rsqrt(var.value + 1e-5)
+            folded = (kernel * inv[None, None, None, :]).reshape(-1, F)
+            fused_bias = bias - mean.value * inv
+            int8_mode = self.quant == "int8"
+            if int8_mode:
+                w_s = jnp.maximum(jnp.max(jnp.abs(folded), axis=0),
+                                  1e-8) / 127.0
+                wmat = jnp.clip(jnp.round(folded / w_s[None, :]),
+                                -127, 127).astype(jnp.int8)
+                amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                self.sow("calib", "amax", amax, reduce_fn=jnp.maximum,
+                         init_fn=lambda: jnp.zeros((), jnp.float32))
+                a_s = jnp.maximum(amax, 1e-8) / 127.0
+                xd = jnp.clip(jnp.round(x.astype(jnp.float32) / a_s),
+                              -127, 127).astype(jnp.int8)
+            else:
+                wmat = folded.astype(self.dtype)
+                xd = x.astype(self.dtype)
+                a_s = w_s = None
+
+        # scatter the (147, F) kernel into its s2d-4 (432, 4, F) equivalent
+        w2 = jnp.zeros((432, 4, F), wmat.dtype)
+        w2 = w2.at[jnp.asarray(dst_r), jnp.asarray(dst_pq)].set(
+            wmat[jnp.asarray(src)])
+        w2 = w2.reshape(432, 4 * F)
+
+        # pad (3, 5) and space-to-depth by 4: 224² → (B, 58, 58, 48)
+        H = x.shape[1]
+        nb, ob = H // 4 + 2, H // 4      # input / output block counts
+        xp = jnp.pad(xd, ((0, 0), (3, 5), (3, 5), (0, 0)))
+        xs = (xp.reshape(B, nb, 4, nb, 4, in_ch)
+              .transpose(0, 1, 3, 2, 4, 5).reshape(B, nb, nb, 48))
+        views = [xs[:, i:i + ob, j:j + ob, :]
+                 for i in range(3) for j in range(3)]
+        patches = jnp.concatenate(views, axis=-1)       # (B, ob, ob, 432)
+        if int8_mode:
+            y = jax.lax.dot_general(
+                patches, w2, (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = (y.astype(jnp.float32)
+                 * (a_s * jnp.tile(w_s, 4))).astype(self.dtype)
+        else:
+            y = jax.lax.dot_general(
+                patches, w2, (((3,), (0,)), ((), ())),
+                preferred_element_type=self.dtype, precision=precision)
+        y = y + jnp.tile(fused_bias.astype(self.dtype), 4)
+
+        # ReLU + 3×3/s2 maxpool in s2d space (pad contributes 0 ≤ relu'd
+        # values, matching the -inf-padded pool on the 112² layout)
+        y = nn.relu(y.reshape(B, ob, ob, 2, 2, F))
+        p0, p1 = y[:, :, :, 0], y[:, :, :, 1]           # (B,ob,ob,2,F)
+        p1s = jnp.pad(p1, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :ob]
+        r = jnp.maximum(jnp.maximum(p0, p1), p1s)
+        q0, q1 = r[:, :, :, 0], r[:, :, :, 1]           # (B,ob,ob,F)
+        q1s = jnp.pad(q1, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :ob]
+        return jnp.maximum(jnp.maximum(q0, q1), q1s)    # (B, ob, ob, 64)
+
+
 class Bottleneck(nn.Module):
     """1×1 reduce → 3×3 → 1×1 expand (×4) with projection shortcut
     (`resnet/resnet.py:57-93`)."""
@@ -194,12 +350,23 @@ class ResNet(nn.Module):
     layers: Sequence[int] = (3, 8, 36, 3)
     dtype: jnp.dtype = jnp.float32
     quant: str = "none"
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(ConvBN(64, 7, 2, dtype=self.dtype, quant=self.quant,
-                           name="stem")(x))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.stem_s2d and x.shape[1] % 4 == 0 and x.shape[1] >= 8 \
+                and x.shape[1] == x.shape[2]:
+            # space-to-depth stem+pool: exact, 128-lane-aligned rewrite of
+            # the 7×7/s2 conv — the im2col stem measured 13.1 ms / 1.1%
+            # MXU at batch 128 (the single worst op in the net). Params
+            # are ConvBN-compatible; odd input sizes fall back below.
+            x = StemPoolS2D(dtype=self.dtype, quant=self.quant,
+                            name="stem")(x)
+        else:
+            x = nn.relu(ConvBN(64, 7, 2, dtype=self.dtype,
+                               quant=self.quant, name="stem")(x))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
         for stage, blocks in enumerate(self.layers):
             width = 64 * (2 ** stage)
             for b in range(blocks):

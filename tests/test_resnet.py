@@ -185,3 +185,54 @@ def test_adaptive_pool_matches_torch(rng):
         torch.as_tensor(np.asarray(feat).transpose(0, 3, 1, 2)), 7).numpy()
     np.testing.assert_allclose(np.asarray(att).transpose(0, 3, 1, 2), want,
                                atol=1e-4)
+
+
+def test_stem_s2d_matches_im2col_stem(rng):
+    """The space-to-depth stem+pool (StemPoolS2D) is an EXACT rewrite of
+    conv7x7/s2 + relu + maxpool3x3/s2: bit-identical on the int8 path
+    (same integer products, integer accumulation), reorder-tolerance on
+    fp32. It exists because the im2col stem measured 13.1 ms / 1.1% MXU
+    at batch 128 on v5e (tools/profile_resnet.py, r04) - sub-lane
+    3-channel views pad to 128-lane tiles."""
+    import jax.numpy as jnp
+    from flax import linen as tnn_flax
+
+    from icka_tpu.models.resnet import ConvBN, StemPoolS2D
+
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+
+    class Old(tnn_flax.Module):
+        quant: str = "none"
+
+        @tnn_flax.compact
+        def __call__(self, x):
+            y = tnn_flax.relu(ConvBN(64, 7, 2, quant=self.quant,
+                                     name="stem")(x))
+            return tnn_flax.max_pool(y, (3, 3), strides=(2, 2),
+                                     padding=((1, 1), (1, 1)))
+
+    old = Old()
+    vo = old.init(jax.random.PRNGKey(0), x)
+    vo = jax.tree.map(
+        lambda a: a + 0.1 * np.random.default_rng(1)
+        .standard_normal(a.shape).astype(np.float32)
+        if a.dtype == np.float32 else a, vo)
+    yo = old.apply(vo, x)
+    vn = {"params": vo["params"]["stem"],
+          "batch_stats": vo["batch_stats"]["stem"]}
+    yn = StemPoolS2D().apply(vn, x)
+    np.testing.assert_allclose(np.asarray(yn), np.asarray(yo), atol=1e-5)
+
+    # int8_static: identical integer math -> bitwise equal
+    wq = np.random.default_rng(2).integers(-127, 127, (147, 64)) \
+        .astype(np.int8)
+    vq = {"params": {
+        "wq": jnp.asarray(wq),
+        "w_scale": jnp.full((64,), 0.01, jnp.float32),
+        "fused_bias": jnp.asarray(
+            np.random.default_rng(3).standard_normal(64), jnp.float32),
+        "act_scale": jnp.asarray(0.02, jnp.float32)}}
+    yoq = Old(quant="int8_static").apply({"params": {"stem": vq["params"]}},
+                                         x)
+    ynq = StemPoolS2D(quant="int8_static").apply(vq, x)
+    np.testing.assert_array_equal(np.asarray(ynq), np.asarray(yoq))
