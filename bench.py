@@ -52,6 +52,38 @@ def _batch(cfg, B, offset, rng, image_size=256, seq_len=None):
     }
 
 
+def _bucket_shares(buckets, median: float = 22.0):
+    """Bucket shares of the documented tweet-length distribution at a
+    given lognormal median (22.0 = the documented point estimate)."""
+    import numpy as np
+
+    from icka_tpu.serving.bucketed import pick_bucket, sample_tweet_lengths
+
+    lens = sample_tweet_lengths(100_000, np.random.default_rng(11),
+                                max_len=buckets[-1], median=median)
+    share = {b: 0.0 for b in buckets}
+    for ln in lens:
+        share[pick_bucket(int(ln), buckets)] += 1.0 / len(lens)
+    return share
+
+
+def _weighted_throughput(buckets, step_time, batch_of, median=22.0):
+    share = _bucket_shares(buckets, median)
+    return 1.0 / sum(share[b] * step_time[b] / batch_of(b) for b in buckets)
+
+
+def _sensitivity_rows(buckets, step_time, batch_of):
+    """VERDICT r03 next #7: the length distribution is assumed, so the
+    weighted headline carries a ±20%-median sensitivity band computed from
+    the SAME measured per-bucket step times (re-weighting only)."""
+    return {
+        "median_x0.8": round(
+            _weighted_throughput(buckets, step_time, batch_of, 17.6), 1),
+        "median_x1.2": round(
+            _weighted_throughput(buckets, step_time, batch_of, 26.4), 1),
+    }
+
+
 def _enable_compile_cache():
     """Persistent XLA compilation cache — the flagship program takes tens of
     minutes to compile through the device tunnel; cache it across runs."""
@@ -201,7 +233,6 @@ def bench_icka_bucketed(quick: bool, iters: int,
     from icka_tpu.data.images import preprocess_images
     from icka_tpu.models.icka import ICKAModel
     from icka_tpu.models.resnet import VisualBackbone
-    from icka_tpu.serving.bucketed import pick_bucket, sample_tweet_lengths
 
     if quick:
         enc = EncoderConfig(vocab_size=1024, hidden_size=256,
@@ -272,11 +303,7 @@ def bench_icka_bucketed(quick: bool, iters: int,
         return jax.lax.fori_loop(
             0, n, lambda i, p: infer(params, bvars, batch, p), prev)
 
-    lens = sample_tweet_lengths(100_000, np.random.default_rng(11),
-                                max_len=buckets[-1])
-    share = {b: 0.0 for b in buckets}
-    for ln in lens:
-        share[pick_bucket(int(ln), buckets)] += 1.0 / len(lens)
+    share = _bucket_shares(buckets)
 
     step_time = {}
     for L in buckets:
@@ -296,11 +323,14 @@ def bench_icka_bucketed(quick: bool, iters: int,
               f"({best * 1e3:.1f} ms/step, share {share[L]:.3f})",
               file=sys.stderr)
 
-    weighted = batch / sum(share[b] * step_time[b] for b in buckets)
+    weighted = _weighted_throughput(buckets, step_time, lambda b: batch)
     detail = {f"L{b}": round(batch / step_time[b], 1) for b in buckets}
     detail["shares"] = {f"L{b}": round(share[b], 4) for b in buckets}
+    detail["sensitivity"] = _sensitivity_rows(buckets, step_time,
+                                              lambda b: batch)
     print(f"# icka bucketed weighted: {weighted:.1f} pairs/s "
-          f"(buckets {buckets}, batch {batch})", file=sys.stderr)
+          f"(buckets {buckets}, batch {batch}, "
+          f"sensitivity {detail['sensitivity']})", file=sys.stderr)
     return weighted, detail
 
 
@@ -337,6 +367,13 @@ def bench_gate_cl(quick: bool, batch_sizes, iters: int,
         cfg = dataclasses.replace(
             cfg, encoder=dataclasses.replace(cfg.encoder, **rep))
 
+    # Device-dispatch overhead through the RPC tunnel measures ~23 ms per
+    # jit dispatch (r04 scaling probe: 206 MB copy = 3.04 ms/it at
+    # inner=10 vs 1.23 ms/it at inner=40 -> fixed ~23 ms + true ~650 GB/s
+    # HBM). Short-step benches must amortize it over enough chained
+    # iterations or every step reads ~2.4 ms slow.
+    if not quick:
+        iters = max(iters, 64)
     dtype = jnp.bfloat16
     model = GateCLModel(cfg, dtype=dtype)
     rng = np.random.default_rng(0)
@@ -394,11 +431,147 @@ def bench_gate_cl(quick: bool, batch_sizes, iters: int,
     return best, best_bs
 
 
+def bench_gate_cl_packed(quick: bool, iters: int,
+                         int8: bool = True,
+                         quant_mode: str = "int8_static",
+                         row_len: int = 128, max_slots: int = 6,
+                         batch: int = 128, median: float = 22.0):
+    """Sequence-PACKED gate_cl serving throughput (icka_tpu.serving.packing).
+
+    Bucketed serving pays bucket-granularity padding (~75% token fill);
+    packing concatenates several tweets per row with exact isolation
+    (block-diagonal attention, per-slot visual keys, reset-cut Viterbi) and
+    fills rows to ~95%. The benchmark samples the documented tweet-length
+    distribution, packs one device batch with first-fit-decreasing, and
+    times the packed program in a chained fori_loop; pairs/s = packed
+    segments / step time. Sensitivity rows re-pack under ±20% median
+    shifts (same compiled program — packing is shape-independent)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from icka_tpu.core.config import EncoderConfig, GateCLConfig
+    from icka_tpu.models.gate_cl import GateCLModel
+    from icka_tpu.serving.bucketed import sample_tweet_lengths
+    from icka_tpu.serving.packing import PackedGateCLServer, pack_first_fit
+
+    if quick:
+        enc = EncoderConfig(vocab_size=1024, hidden_size=128,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            intermediate_size=256, position_offset=0,
+                            pad_token_id=0, layer_norm_eps=1e-12)
+        cfg = GateCLConfig(encoder=enc, region_dim=64, max_seq_length=32)
+        row_len = min(row_len, 32)
+        batch = 8
+    else:
+        cfg = GateCLConfig()
+    if int8:
+        rep = {"quant": quant_mode}
+        if quant_mode == "int8_static":
+            rep["fuse_qkv"] = True
+            rep["softmax_dtype"] = "bfloat16"
+        cfg = dataclasses.replace(
+            cfg, encoder=dataclasses.replace(cfg.encoder, **rep))
+
+    # Device-dispatch overhead through the RPC tunnel measures ~23 ms per
+    # jit dispatch (r04 scaling probe: 206 MB copy = 3.04 ms/it at
+    # inner=10 vs 1.23 ms/it at inner=40 -> fixed ~23 ms + true ~650 GB/s
+    # HBM). Short-step benches must amortize it over enough chained
+    # iterations or every step reads ~2.4 ms slow.
+    if not quick:
+        iters = max(iters, 48)
+    model = GateCLModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    L = cfg.max_seq_length
+    params = model.init(
+        jax.random.PRNGKey(0),
+        rng.integers(2, cfg.encoder.vocab_size, (2, L)).astype(np.int32),
+        np.zeros((2, L), np.int32), np.ones((2, L), np.int32),
+        np.ones((2, cfg.num_regions), np.int32),
+        np.zeros((2, cfg.region_dim), np.float32),
+        np.zeros((2, 7, 7, cfg.region_dim), np.float32))
+
+    srv = PackedGateCLServer(model, params, row_len=row_len,
+                             max_slots=max_slots, max_batch=batch)
+
+    def packed_arrays(med):
+        """Sample enough requests to fill `batch` rows; returns arrays +
+        the number of pairs the batch carries."""
+        lens = sample_tweet_lengths(
+            batch * max_slots * 2, np.random.default_rng(11),
+            max_len=row_len, median=med)
+        rows = pack_first_fit(lens.tolist(), row_len, max_slots)[:batch]
+        # build examples only for the used requests, re-indexed
+        exs = []
+        idx_map = {}
+        for row in rows:
+            for i in row:
+                idx_map[i] = len(idx_map)
+                exs.append({
+                    "input_ids": rng.integers(
+                        2, cfg.encoder.vocab_size, int(lens[i]))
+                    .astype(np.int32),
+                    "visual_grid": rng.standard_normal(
+                        (7, 7, cfg.region_dim)).astype(np.float32),
+                })
+        rows = [[idx_map[i] for i in row] for row in rows]
+        lengths = [len(ex["input_ids"]) for ex in exs]
+        b, _, toks = srv.build_batch(exs, lengths, rows)
+        return b, len(exs), toks
+
+    fn_model = model
+
+    def infer(p, b, prev):
+        dep = jnp.where(jnp.sum(prev) > jnp.int32(2 ** 30), 1, 0) \
+            .astype(jnp.int32)
+        return fn_model.apply(p, b["ids"] + dep, b["pos"], b["types"],
+                              b["slot"], b["valid"], b["seg_start"],
+                              b["img_mask"], b["visual_grid"] + dep,
+                              b["seg_gather"],
+                              method=fn_model.forward_packed)
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("n",))
+    def infer_loop(p, b, prev, n):
+        return jax.lax.fori_loop(0, n, lambda i, pr: infer(p, b, pr), prev)
+
+    def run(med):
+        b, pairs, toks = packed_arrays(med)
+        db = jax.device_put(b)
+        prev = jnp.zeros((batch, row_len), jnp.int32)
+        out = infer_loop(params, db, prev, iters)
+        np.asarray(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = infer_loop(params, db, out, iters)
+            np.asarray(out)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return pairs / best, pairs, toks / (batch * row_len), best
+
+    pps, pairs, fill, step = run(median)
+    detail = {"pairs_per_batch": pairs, "token_fill": round(fill, 3),
+              "row_len": row_len, "max_slots": max_slots, "batch": batch,
+              "step_ms": round(step * 1e3, 2)}
+    detail["sensitivity"] = {
+        "median_x0.8": round(run(median * 0.8)[0], 1),
+        "median_x1.2": round(run(median * 1.2)[0], 1),
+    }
+    print(f"# gate_cl packed: {pps:.1f} pairs/s ({step * 1e3:.2f} ms/step, "
+          f"{pairs} pairs/batch, fill {fill:.2f}, "
+          f"sensitivity {detail['sensitivity']})", file=sys.stderr)
+    return pps, detail
+
+
 def bench_gate_cl_bucketed(quick: bool, iters: int,
                            int8: bool = True,
                            quant_mode: str = "int8_static",
                            batch_override: int | None = None,
-                           buckets_override: tuple | None = None):
+                           buckets_override: tuple | None = None,
+                           with_backbone: bool = False):
     """Length-bucketed gate_cl serving throughput (icka_tpu.serving).
 
     The reference pads every tweet to max_seq_length=128
@@ -409,7 +582,17 @@ def bench_gate_cl_bucketed(quick: bool, iters: int,
     shares of the documented synthetic tweet-length distribution
     (`sample_tweet_lengths`: clipped lognormal, p50≈24 subtokens) —
     throughput = batch / Σ share_b · t_b. The fixed-128 number stays the
-    reference-layout headline; this is the serving-engine number."""
+    reference-layout headline; this is the serving-engine number.
+
+    `with_backbone=False` measures the encoder-only path — the number a
+    precomputed-visual-feature deployment gets, NOT comparable to the
+    image+sentence north star. `with_backbone=True` runs uint8 images →
+    device preprocess → ResNet-152 → gate_cl inside the same jitted loop,
+    exactly as the reference encodes every image per batch
+    (`My_cross_attention.py:804-805`) — the north-star-comparable number
+    (VERDICT r03 next #2). Backbone runs serve a uniform batch: ResNet is
+    a length-independent per-pair floor, so the short-bucket batch
+    escalation that pays encoder-only has nothing left to recover."""
     import dataclasses
 
     import numpy as np
@@ -418,7 +601,6 @@ def bench_gate_cl_bucketed(quick: bool, iters: int,
 
     from icka_tpu.core.config import EncoderConfig, GateCLConfig
     from icka_tpu.models.gate_cl import GateCLModel
-    from icka_tpu.serving.bucketed import pick_bucket, sample_tweet_lengths
 
     if quick:
         enc = EncoderConfig(vocab_size=1024, hidden_size=128,
@@ -439,9 +621,10 @@ def bench_gate_cl_bucketed(quick: bool, iters: int,
     # measured per-bucket serving batches (r03 sweep): short buckets need
     # larger batches to saturate the MXU — L16: 512 is +28% over 128,
     # L24/L32: 256 is +13/+11%; L48 is flat and L64/L128 regress at 256.
-    # A uniform batch_override (e.g. a --batch_sizes sweep) disables this.
-    per_bucket = {} if (quick or batch_override) else {16: 512, 24: 256,
-                                                       32: 256}
+    # A uniform batch_override (e.g. a --batch_sizes sweep) disables this,
+    # as does with_backbone (see docstring).
+    per_bucket = {} if (quick or batch_override or with_backbone) \
+        else {16: 512, 24: 256, 32: 256}
 
     def batch_of(L):
         return per_bucket.get(L, batch)
@@ -455,72 +638,117 @@ def bench_gate_cl_bucketed(quick: bool, iters: int,
         cfg = dataclasses.replace(
             cfg, encoder=dataclasses.replace(cfg.encoder, **rep))
 
+    if with_backbone and cfg.region_dim != 2048:
+        cfg = dataclasses.replace(cfg, region_dim=2048)
+    # Device-dispatch overhead through the RPC tunnel measures ~23 ms per
+    # jit dispatch (r04 scaling probe: 206 MB copy = 3.04 ms/it at
+    # inner=10 vs 1.23 ms/it at inner=40 -> fixed ~23 ms + true ~650 GB/s
+    # HBM). Short-step benches must amortize it over enough chained
+    # iterations or every step reads ~2.4 ms slow.
+    if not quick:
+        iters = max(iters, 24 if with_backbone else 64)
     model = GateCLModel(cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
 
+    backbone = bvars = None
+    image_size = 64 if quick else 256
+    crop = min(224, image_size)
+    if with_backbone:
+        from icka_tpu.data.images import preprocess_images
+        from icka_tpu.models.resnet import VisualBackbone
+
+        backbone = VisualBackbone(
+            layers=(1, 1, 1, 1) if quick else (3, 8, 36, 3),
+            dtype=jnp.bfloat16, quant=quant_mode if int8 else "none")
+        bvars = backbone.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, crop, crop, 3), jnp.bfloat16))
+
     def make(B, L):
-        return (
-            rng.integers(2, cfg.encoder.vocab_size, (B, L))
-            .astype(np.int32),
-            np.zeros((B, L), np.int32),
-            np.ones((B, L), np.int32),
-            np.ones((B, cfg.num_regions), np.int32),
-            rng.standard_normal((B, cfg.region_dim)).astype(np.float32),
-            rng.standard_normal((B, 7, 7, cfg.region_dim))
-            .astype(np.float32),
-        )
+        a = [rng.integers(2, cfg.encoder.vocab_size, (B, L))
+             .astype(np.int32),
+             np.zeros((B, L), np.int32),
+             np.ones((B, L), np.int32),
+             np.ones((B, cfg.num_regions), np.int32)]
+        if with_backbone:
+            # visual features come from the in-loop ResNet; ship images
+            a += [None, None,
+                  rng.integers(0, 255, (B, image_size, image_size, 3))
+                  .astype(np.uint8)]
+        else:
+            a += [rng.standard_normal((B, cfg.region_dim))
+                  .astype(np.float32),
+                  rng.standard_normal((B, 7, 7, cfg.region_dim))
+                  .astype(np.float32), None]
+        return tuple(a)
 
     # params are init'd ONCE at the largest bucket (= max_seq_length) and
     # reused for every bucket: GateCLModel keeps parameter shapes
     # independent of the padded length (crs input padded to max_seq_length)
-    params = model.init(jax.random.PRNGKey(0), *make(2, buckets[-1]))
+    Lmax = buckets[-1]
+    params = model.init(
+        jax.random.PRNGKey(0),
+        rng.integers(2, cfg.encoder.vocab_size, (2, Lmax)).astype(np.int32),
+        np.zeros((2, Lmax), np.int32), np.ones((2, Lmax), np.int32),
+        np.ones((2, cfg.num_regions), np.int32),
+        np.zeros((2, cfg.region_dim), np.float32),
+        np.zeros((2, 7, 7, cfg.region_dim), np.float32))
 
-    def infer(p, ids, seg, mask, imask, vmean, vgrid, prev):
+    def infer(p, bv, ids, seg, mask, imask, vmean, vgrid, images, prev):
         dep = jnp.where(jnp.sum(prev) > jnp.int32(2 ** 30), 1.0, 0.0)
+        if with_backbone:
+            # the reference encodes EVERY image through ResNet-152 per
+            # batch (`My_cross_attention.py:804-805`); same here, inside
+            # the jitted loop, chained through `dep`.
+            pixels = preprocess_images(images, jax.random.PRNGKey(0),
+                                       crop_size=crop, train=False)
+            _, vm, vg = backbone.apply(
+                bv, (pixels + dep).astype(jnp.bfloat16))
+            vmean, vgrid = vm.astype(jnp.float32), vg
+        else:
+            vmean, vgrid = vmean + dep, vgrid + dep
         return model.apply(p, ids + dep.astype(jnp.int32), seg, mask,
-                           imask, vmean + dep, vgrid + dep)
+                           imask, vmean, vgrid)
 
     @partial(jax.jit, static_argnames=("n",))
-    def infer_loop(p, ids, seg, mask, imask, vmean, vgrid, prev, n):
+    def infer_loop(p, bv, ids, seg, mask, imask, vmean, vgrid, images,
+                   prev, n):
         return jax.lax.fori_loop(
             0, n,
-            lambda i, pr: infer(p, ids, seg, mask, imask, vmean, vgrid, pr),
+            lambda i, pr: infer(p, bv, ids, seg, mask, imask, vmean,
+                                vgrid, images, pr),
             prev)
 
-    # bucket shares of the documented length distribution
-    lens = sample_tweet_lengths(100_000, np.random.default_rng(11),
-                                max_len=buckets[-1])
-    share = {b: 0.0 for b in buckets}
-    for ln in lens:
-        share[pick_bucket(int(ln), buckets)] += 1.0 / len(lens)
+    share = _bucket_shares(buckets)
+    tag = "gate_cl+resnet" if with_backbone else "gate_cl"
 
     step_time = {}
     for L in buckets:
         B = batch_of(L)
         a = jax.device_put(make(B, L))
         prev = jnp.zeros((B, L), jnp.int32)
-        out = infer_loop(params, *a, prev, iters)
+        out = infer_loop(params, bvars, *a, prev, iters)
         np.asarray(out)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            out = infer_loop(params, *a, out, iters)
+            out = infer_loop(params, bvars, *a, out, iters)
             np.asarray(out)
             best = min(best, (time.perf_counter() - t0) / iters)
         step_time[L] = best
-        print(f"# gate_cl bucket L={L}: {B / best:.1f} pairs/s "
+        print(f"# {tag} bucket L={L}: {B / best:.1f} pairs/s "
               f"({best * 1e3:.2f} ms/step, batch {B}, share {share[L]:.3f})",
               file=sys.stderr)
 
     # seconds per pair in bucket b is t_b / batch_b; weight by shares
-    weighted = 1.0 / sum(share[b] * step_time[b] / batch_of(b)
-                         for b in buckets)
+    weighted = _weighted_throughput(buckets, step_time, batch_of)
     detail = {f"L{b}": round(batch_of(b) / step_time[b], 1) for b in buckets}
     detail["shares"] = {f"L{b}": round(share[b], 4) for b in buckets}
+    detail["sensitivity"] = _sensitivity_rows(buckets, step_time, batch_of)
     if per_bucket:
         detail["batches"] = {f"L{b}": batch_of(b) for b in buckets}
-    print(f"# gate_cl bucketed weighted: {weighted:.1f} pairs/s "
-          f"(buckets {buckets})", file=sys.stderr)
+    print(f"# {tag} bucketed weighted: {weighted:.1f} pairs/s "
+          f"(buckets {buckets}, sensitivity {detail['sensitivity']})",
+          file=sys.stderr)
     return weighted, detail
 
 
@@ -677,7 +905,44 @@ def bench_e2e(quick: bool, batch: int, steps: int, pallas: bool = False,
     e2e_pairs = n / (time.perf_counter() - t0)
     print(f"# e2e (jpeg→decode→transfer→device): {e2e_pairs:.1f} pairs/s "
           f"(batch {batch}, {steps} steps)", file=sys.stderr)
-    return e2e_pairs, loader_pairs
+
+    # ---- stage breakdown (VERDICT r03 next #6): one extra epoch with
+    # explicit syncs isolating decode-wait / host→device transfer / device
+    # compute. The serialized sum bounds the overlapped e2e from above;
+    # if e2e ≈ the serialized sum, the stages are NOT overlapping and the
+    # per-stage shares say which one owns the ceiling on this host. ----
+    decode_s = h2d_s = device_s = 0.0
+    it = iter(make_loader())
+    while True:
+        t0 = time.perf_counter()
+        b = next(it, None)
+        if b is None:
+            break
+        t1 = time.perf_counter()
+        db = jax.device_put({k: b[k] for k in keys})
+        jax.block_until_ready(db)
+        t2 = time.perf_counter()
+        out = infer(params, bvars, db)
+        np.asarray(out)
+        t3 = time.perf_counter()
+        decode_s += t1 - t0
+        h2d_s += t2 - t1
+        device_s += t3 - t2
+    total = decode_s + h2d_s + device_s
+    breakdown = {
+        "decode_wait_s": round(decode_s, 3),
+        "h2d_transfer_s": round(h2d_s, 3),
+        "device_compute_s": round(device_s, 3),
+        "serialized_pairs_per_sec": round(n / total, 1) if total else 0.0,
+        "overlap_efficiency": round(
+            (total / (n / e2e_pairs)) if e2e_pairs else 0.0, 3),
+    }
+    print(f"# e2e breakdown over {steps} steps: decode-wait {decode_s:.2f}s"
+          f" | h2d {h2d_s:.2f}s | device {device_s:.2f}s "
+          f"(serialized {breakdown['serialized_pairs_per_sec']} pairs/s, "
+          f"overlap efficiency {breakdown['overlap_efficiency']})",
+          file=sys.stderr)
+    return e2e_pairs, loader_pairs, breakdown
 
 
 def bench_train(quick: bool, batch: int, iters: int,
@@ -777,7 +1042,8 @@ def main(argv=None):
     p.add_argument("--quick", action="store_true")
     p.add_argument("--model", default="icka",
                    choices=["icka", "icka_bucketed", "gate_cl",
-                            "gate_cl_bucketed", "train", "e2e", "all"])
+                            "gate_cl_bucketed", "gate_cl_packed", "train",
+                            "e2e", "all"])
     p.add_argument("--batch_sizes", default=None,
                    help="comma-separated batch sizes to sweep")
     p.add_argument("--iters", type=int, default=None)
@@ -812,7 +1078,15 @@ def main(argv=None):
                    help="headline icka number only, no gate_cl/train")
     p.add_argument("--buckets", default=None,
                    help="comma-separated bucket lengths for the bucketed "
-                        "serving benches (default 32,64,128)")
+                        "serving benches (default 16,24,32,48,64,128)")
+    p.add_argument("--row_len", type=int, default=128,
+                   help="gate_cl_packed: packed row length")
+    p.add_argument("--max_slots", type=int, default=6,
+                   help="gate_cl_packed: max segments per packed row")
+    p.add_argument("--with_backbone", action="store_true",
+                   help="gate_cl_bucketed only: run ResNet-152 on uint8 "
+                        "images inside the jitted loop — the image+sentence "
+                        "number comparable to the north star")
     args = p.parse_args(argv)
 
     if args.quick:
@@ -908,6 +1182,27 @@ def main(argv=None):
                 print(f"# gate_cl bucketed bench failed: {e}",
                       file=sys.stderr)
             try:
+                # sequence-packed serving (icka_tpu.serving.packing): the
+                # engine that fills rows to ~95% instead of paying bucket
+                # padding (VERDICT r03 next #3)
+                gp, gpdetail = bench_gate_cl_packed(args.quick, iters)
+                extra["gate_cl_packed_pairs_per_sec"] = round(gp, 2)
+                extra["gate_cl_packed_detail"] = gpdetail
+            except Exception as e:      # pragma: no cover
+                print(f"# gate_cl packed bench failed: {e}",
+                      file=sys.stderr)
+            try:
+                # the north-star-comparable gate_cl number: image+sentence
+                # pairs with ResNet-152 inside the loop (VERDICT r03 #2)
+                gbb, gbbd = bench_gate_cl_bucketed(args.quick, iters,
+                                                   with_backbone=True)
+                extra["gate_cl_bucketed_with_backbone_pairs_per_sec"] = \
+                    round(gbb, 2)
+                extra["gate_cl_with_backbone_detail"] = gbbd
+            except Exception as e:      # pragma: no cover
+                print(f"# gate_cl+backbone bucketed bench failed: {e}",
+                      file=sys.stderr)
+            try:
                 ib, idetail = bench_icka_bucketed(args.quick, iters)
                 extra["icka_bucketed_pairs_per_sec"] = round(ib, 2)
                 extra["icka_bucket_detail"] = idetail
@@ -915,7 +1210,8 @@ def main(argv=None):
                 # flagship (VERDICT r02 next #7): the bucketed engine on
                 # the documented tweet-length distribution. The fixed-128
                 # reference-layout number stays a first-class extra above.
-                if not int8_on and not args.batch_sizes:
+                if not int8_on and not args.batch_sizes \
+                        and not args.no_pallas:
                     extra[metric] = round(value, 2)
                     value = ib
                     metric = "icka_bucketed_serving_pairs_per_sec_per_chip"
@@ -929,10 +1225,12 @@ def main(argv=None):
             except Exception as e:      # pragma: no cover
                 print(f"# train bench failed: {e}", file=sys.stderr)
             try:
-                e2e, loader = bench_e2e(args.quick, 128, args.e2e_steps,
-                                        pallas=use_pallas, int8=False)
+                e2e, loader, ebrk = bench_e2e(args.quick, 128,
+                                              args.e2e_steps,
+                                              pallas=use_pallas, int8=False)
                 extra["e2e_pairs_per_sec"] = round(e2e, 2)
                 extra["loader_pairs_per_sec"] = round(loader, 2)
+                extra["e2e_breakdown"] = ebrk
                 extra["host_cpus"] = os.cpu_count()
             except Exception as e:      # pragma: no cover
                 print(f"# e2e bench failed: {e}", file=sys.stderr)
@@ -960,15 +1258,29 @@ def main(argv=None):
             quant_mode=quant_mode if int8_on else "int8_static",
             batch_override=batch_sizes[0] if args.batch_sizes else None,
             buckets_override=tuple(int(b) for b in args.buckets.split(","))
-            if args.buckets else None)
+            if args.buckets else None,
+            with_backbone=args.with_backbone)
         metric = "gate_cl_bucketed_serving_pairs_per_sec_per_chip"
+        if args.with_backbone:
+            metric = ("gate_cl_bucketed_with_backbone"
+                      "_pairs_per_sec_per_chip")
         extra["bucket_detail"] = detail
+    elif args.model == "gate_cl_packed":
+        value, detail = bench_gate_cl_packed(
+            args.quick, iters,
+            int8=int8_on or not args.quick,
+            quant_mode=quant_mode if int8_on else "int8_static",
+            row_len=args.row_len, max_slots=args.max_slots,
+            batch=batch_sizes[0] if args.batch_sizes else 128)
+        metric = "gate_cl_packed_serving_pairs_per_sec_per_chip"
+        extra["packed_detail"] = detail
     elif args.model == "e2e":
-        value, loader = bench_e2e(args.quick, batch_sizes[0],
-                                  args.e2e_steps, pallas=use_pallas,
-                                  int8=int8_on)
+        value, loader, ebrk = bench_e2e(args.quick, batch_sizes[0],
+                                        args.e2e_steps, pallas=use_pallas,
+                                        int8=int8_on)
         metric = "icka_e2e_pairs_per_sec_per_chip"
         extra["loader_pairs_per_sec"] = round(loader, 2)
+        extra["e2e_breakdown"] = ebrk
         extra["host_cpus"] = os.cpu_count()
     else:
         value = bench_train(args.quick, batch_sizes[0], iters,
