@@ -434,18 +434,24 @@ def bench_gate_cl(quick: bool, batch_sizes, iters: int,
 def bench_gate_cl_packed(quick: bool, iters: int,
                          int8: bool = True,
                          quant_mode: str = "int8_static",
-                         row_len: int = 128, max_slots: int = 6,
+                         row_len: int | None = None, max_slots: int = 6,
                          batch: int = 128, median: float = 22.0):
     """Sequence-PACKED gate_cl serving throughput (icka_tpu.serving.packing).
 
-    Bucketed serving pays bucket-granularity padding (~75% token fill);
-    packing concatenates several tweets per row with exact isolation
-    (block-diagonal attention, per-slot visual keys, reset-cut Viterbi) and
-    fills rows to ~95%. The benchmark samples the documented tweet-length
-    distribution, packs one device batch with first-fit-decreasing, and
-    times the packed program in a chained fori_loop; pairs/s = packed
-    segments / step time. Sensitivity rows re-pack under ±20% median
-    shifts (same compiled program — packing is shape-independent)."""
+    Bucketed serving pays bucket-granularity padding (~75% token fill)
+    and one request per row; packing concatenates several tweets per row
+    with exact isolation (block-diagonal attention, per-slot visual keys,
+    reset-cut Viterbi). Requests route through the server's TIERS
+    (default (48, 2) + (128, 6) — short rows win because attention cost
+    scales with the ROW length; the 128 tier serves the >48-token tail
+    exactly instead of truncating it). For each tier the bench packs one
+    full device batch from that tier's slice of the documented
+    tweet-length distribution, times the compiled program in a chained
+    fori_loop, and weights tiers by their pair shares:
+    throughput = 1 / Σ share_t · (step_t / pairs_per_batch_t). A
+    ±20%-median sensitivity band re-samples, re-packs and re-weights
+    (same compiled programs — packing is shape-independent).
+    `row_len`/`max_slots` switch to a single-tier layout for sweeps."""
     import dataclasses
 
     import numpy as np
@@ -463,7 +469,7 @@ def bench_gate_cl_packed(quick: bool, iters: int,
                             intermediate_size=256, position_offset=0,
                             pad_token_id=0, layer_norm_eps=1e-12)
         cfg = GateCLConfig(encoder=enc, region_dim=64, max_seq_length=32)
-        row_len = min(row_len, 32)
+        row_len, max_slots = 32, 3
         batch = 8
     else:
         cfg = GateCLConfig()
@@ -476,10 +482,7 @@ def bench_gate_cl_packed(quick: bool, iters: int,
             cfg, encoder=dataclasses.replace(cfg.encoder, **rep))
 
     # Device-dispatch overhead through the RPC tunnel measures ~23 ms per
-    # jit dispatch (r04 scaling probe: 206 MB copy = 3.04 ms/it at
-    # inner=10 vs 1.23 ms/it at inner=40 -> fixed ~23 ms + true ~650 GB/s
-    # HBM). Short-step benches must amortize it over enough chained
-    # iterations or every step reads ~2.4 ms slow.
+    # jit dispatch (r04 scaling probe) — amortize over chained iterations.
     if not quick:
         iters = max(iters, 48)
     model = GateCLModel(cfg, dtype=jnp.bfloat16)
@@ -493,33 +496,49 @@ def bench_gate_cl_packed(quick: bool, iters: int,
         np.zeros((2, cfg.region_dim), np.float32),
         np.zeros((2, 7, 7, cfg.region_dim), np.float32))
 
-    srv = PackedGateCLServer(model, params, row_len=row_len,
-                             max_slots=max_slots, max_batch=batch)
+    srv = PackedGateCLServer(model, params, max_batch=batch,
+                             row_len=row_len, max_slots=max_slots)
 
-    def packed_arrays(med):
-        """Sample enough requests to fill `batch` rows; returns arrays +
-        the number of pairs the batch carries."""
-        lens = sample_tweet_lengths(
-            batch * max_slots * 2, np.random.default_rng(11),
-            max_len=row_len, median=med)
-        rows = pack_first_fit(lens.tolist(), row_len, max_slots)[:batch]
-        # build examples only for the used requests, re-indexed
-        exs = []
-        idx_map = {}
+    def tier_batch(t, med):
+        """Pack one full device batch from tier t's slice of the length
+        distribution; returns (arrays, pairs in the batch)."""
+        Lt, St = srv.tiers[t]
+        # draw until this tier's slice fills the batch (a tail tier sees
+        # only a few % of requests, so a fixed draw would leave most rows
+        # empty and time a mostly-padding program)
+        lens, draws = [], 0
+        gen = np.random.default_rng(11 + t)
+        while draws < 50 and len(lens) < batch * St * 2:
+            draws += 1
+            cand = sample_tweet_lengths(batch * St * 4, gen,
+                                        max_len=srv.tiers[-1][0],
+                                        median=med)
+            lens += [int(x) for x in cand if srv._tier_of(int(x)) == t]
+        rows = pack_first_fit(lens, Lt, St)[:batch]
+        exs, rows2 = [], []
         for row in rows:
+            r2 = []
             for i in row:
-                idx_map[i] = len(idx_map)
+                r2.append(len(exs))
                 exs.append({
                     "input_ids": rng.integers(
-                        2, cfg.encoder.vocab_size, int(lens[i]))
+                        2, cfg.encoder.vocab_size, lens[i])
                     .astype(np.int32),
                     "visual_grid": rng.standard_normal(
                         (7, 7, cfg.region_dim)).astype(np.float32),
                 })
-        rows = [[idx_map[i] for i in row] for row in rows]
+            rows2.append(r2)
         lengths = [len(ex["input_ids"]) for ex in exs]
-        b, _, toks = srv.build_batch(exs, lengths, rows)
-        return b, len(exs), toks
+        b, _, toks = srv.build_batch(exs, lengths, rows2, Lt, St)
+        return b, len(exs), toks / (batch * Lt)
+
+    def tier_shares(med):
+        lens = sample_tweet_lengths(100_000, np.random.default_rng(3),
+                                    max_len=srv.tiers[-1][0], median=med)
+        share = [0.0] * len(srv.tiers)
+        for ln in lens:
+            share[srv._tier_of(int(ln))] += 1.0 / len(lens)
+        return share
 
     fn_model = model
 
@@ -538,10 +557,11 @@ def bench_gate_cl_packed(quick: bool, iters: int,
     def infer_loop(p, b, prev, n):
         return jax.lax.fori_loop(0, n, lambda i, pr: infer(p, b, pr), prev)
 
-    def run(med):
-        b, pairs, toks = packed_arrays(med)
+    def measure_tier(t, med):
+        b, pairs, fill = tier_batch(t, med)
+        Lt = srv.tiers[t][0]
         db = jax.device_put(b)
-        prev = jnp.zeros((batch, row_len), jnp.int32)
+        prev = jnp.zeros((batch, Lt), jnp.int32)
         out = infer_loop(params, db, prev, iters)
         np.asarray(out)
         best = float("inf")
@@ -550,19 +570,41 @@ def bench_gate_cl_packed(quick: bool, iters: int,
             out = infer_loop(params, db, out, iters)
             np.asarray(out)
             best = min(best, (time.perf_counter() - t0) / iters)
-        return pairs / best, pairs, toks / (batch * row_len), best
+        return best, pairs, fill
 
-    pps, pairs, fill, step = run(median)
-    detail = {"pairs_per_batch": pairs, "token_fill": round(fill, 3),
-              "row_len": row_len, "max_slots": max_slots, "batch": batch,
-              "step_ms": round(step * 1e3, 2)}
-    detail["sensitivity"] = {
-        "median_x0.8": round(run(median * 0.8)[0], 1),
-        "median_x1.2": round(run(median * 1.2)[0], 1),
-    }
-    print(f"# gate_cl packed: {pps:.1f} pairs/s ({step * 1e3:.2f} ms/step, "
-          f"{pairs} pairs/batch, fill {fill:.2f}, "
-          f"sensitivity {detail['sensitivity']})", file=sys.stderr)
+    def weighted(med, per_tier):
+        shares = tier_shares(med)
+        return 1.0 / sum(
+            shares[t] * per_tier[t][0] / per_tier[t][1]
+            for t in range(len(srv.tiers)) if shares[t] > 0)
+
+    per_tier = {}
+    detail = {"tiers": {}, "batch": batch}
+    for t, (Lt, St) in enumerate(srv.tiers):
+        step, pairs, fill = measure_tier(t, median)
+        per_tier[t] = (step, pairs)
+        detail["tiers"][f"L{Lt}xS{St}"] = {
+            "pairs_per_batch": pairs, "step_ms": round(step * 1e3, 2),
+            "token_fill": round(fill, 3),
+            "pairs_per_sec": round(pairs / step, 1)}
+        print(f"# gate_cl packed tier L={Lt} S={St}: "
+              f"{pairs / step:.1f} pairs/s ({step * 1e3:.2f} ms/step, "
+              f"{pairs} pairs/batch, fill {fill:.2f})", file=sys.stderr)
+
+    pps = weighted(median, per_tier)
+    # sensitivity: re-pack + re-weight under median shifts (compiled
+    # programs are shape-identical, so re-measure is re-timing only)
+    sens = {}
+    for tag, med in (("median_x0.8", median * 0.8),
+                     ("median_x1.2", median * 1.2)):
+        pt = {}
+        for t in range(len(srv.tiers)):
+            step, pairs, _ = measure_tier(t, med)
+            pt[t] = (step, pairs)
+        sens[tag] = round(weighted(med, pt), 1)
+    detail["sensitivity"] = sens
+    print(f"# gate_cl packed weighted: {pps:.1f} pairs/s "
+          f"(tiers {srv.tiers}, sensitivity {sens})", file=sys.stderr)
     return pps, detail
 
 
@@ -1079,8 +1121,9 @@ def main(argv=None):
     p.add_argument("--buckets", default=None,
                    help="comma-separated bucket lengths for the bucketed "
                         "serving benches (default 16,24,32,48,64,128)")
-    p.add_argument("--row_len", type=int, default=128,
-                   help="gate_cl_packed: packed row length")
+    p.add_argument("--row_len", type=int, default=None,
+                   help="gate_cl_packed: single-tier packed row length "
+                        "(default: the tiered (48,2)+(128,6) layout)")
     p.add_argument("--max_slots", type=int, default=6,
                    help="gate_cl_packed: max segments per packed row")
     p.add_argument("--with_backbone", action="store_true",

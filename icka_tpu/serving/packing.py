@@ -87,34 +87,39 @@ class PackedGateCLServer:
     model: `GateCLModel` built at the deployment max_seq_length (the crs
         flatten width for the "gate_cl" variant).
     params: model variables (fp32 / int8 / int8_static trees all work).
-    row_len: packed row length — the one compiled sequence length. 128
-        (the default, = reference max_seq_length) wastes nothing on
-        truncation; shorter rows trade quadratic attention cost against
-        packing freedom (measure with bench.py --model gate_cl_packed
-        --row_len).
-    max_slots: segments per row the compiled program supports. Mean tweets
-        are ~26 subtokens, so 6 slots fill a 128-token row with headroom;
-        raising it grows the per-slot visual tensor (B, S, 7, 7, R) and
-        the crs gather linearly.
+    tiers: ((row_len, max_slots), ...) ascending — each request routes to
+        the first tier whose row length fits it, so short tweets pack into
+        short rows (quadratic attention cost scales with the ROW length,
+        not the tweet length) while the long tail still gets a full-length
+        tier instead of being truncated. The measured v5e optimum for the
+        documented tweet-length distribution is ((48, 2), (128, 6)):
+        48-token rows beat 64/96/128-token rows by 8-15% weighted
+        (bench.py --model gate_cl_packed --row_len sweep, r04), and the
+        128 tier serves the ~3% of requests longer than 48 exactly.
+        Requests longer than the LAST tier are truncated to it (the
+        reference truncates to max_seq_length the same way,
+        `My_cross_attention.py:311-315`).
     max_batch: rows per device batch.
-
-    Requests longer than `row_len` tokens are truncated to `row_len`
-    (the reference truncates to max_seq_length the same way,
-    `My_cross_attention.py:311-315`).
+    row_len/max_slots: single-tier shorthand, overrides `tiers`.
     """
 
-    def __init__(self, model, params, row_len: int = 128,
-                 max_slots: int = 6, max_batch: int = 128):
+    def __init__(self, model, params,
+                 tiers: Sequence = ((48, 2), (128, 2)),
+                 max_batch: int = 128,
+                 row_len: int | None = None, max_slots: int = 6):
         self.model = model
         self.params = params
-        self.row_len = int(row_len)
-        self.max_slots = int(max_slots)
+        if row_len is not None:
+            tiers = ((int(row_len), int(max_slots)),)
+        self.tiers = tuple((int(a), int(b)) for a, b in tiers)
         self.max_batch = int(max_batch)
         self._fn: Callable | None = None
 
     # -- device program ----------------------------------------------------
 
     def _apply_fn(self) -> Callable:
+        """One jitted callable serves every tier (jax retraces per input
+        shape; each tier is one compiled specialization)."""
         if self._fn is None:
             model = self.model
 
@@ -129,6 +134,12 @@ class PackedGateCLServer:
             self._fn = fn
         return self._fn
 
+    def _tier_of(self, length: int) -> int:
+        for t, (L, _) in enumerate(self.tiers):
+            if length <= L:
+                return t
+        return len(self.tiers) - 1
+
     def _position_ids(self, length: int) -> np.ndarray:
         """The positions this segment would see if it ran alone: RoBERTa
         dialect counts non-pad tokens offset by the padding index
@@ -139,9 +150,9 @@ class PackedGateCLServer:
                 + cfg.pad_token_id
         return np.arange(length, dtype=np.int32)
 
-    def _empty_batch(self, B: int):
+    def _empty_batch(self, B: int, row_len: int, max_slots: int):
         cfg = self.model.cfg
-        L, S = self.row_len, self.max_slots
+        L, S = row_len, max_slots
         return {
             "ids": np.full((B, L), cfg.encoder.pad_token_id, np.int32),
             "pos": np.zeros((B, L), np.int32),
@@ -156,25 +167,31 @@ class PackedGateCLServer:
         }
 
     def warmup(self) -> None:
-        b = self._empty_batch(self.max_batch)
-        b["valid"][:, 0] = 1
-        b["seg_start"][:, 0] = 1
-        b["slot"][:, 0] = 0
-        jax.block_until_ready(self._apply_fn()(
-            self.params, b["ids"], b["pos"], b["types"], b["slot"],
-            b["valid"], b["seg_start"], b["img_mask"], b["visual_grid"],
-            b["seg_gather"]))
+        for L, S in self.tiers:
+            b = self._empty_batch(self.max_batch, L, S)
+            b["valid"][:, 0] = 1
+            b["seg_start"][:, 0] = 1
+            b["slot"][:, 0] = 0
+            jax.block_until_ready(self._apply_fn()(
+                self.params, b["ids"], b["pos"], b["types"], b["slot"],
+                b["valid"], b["seg_start"], b["img_mask"],
+                b["visual_grid"], b["seg_gather"]))
 
     # -- host packing ------------------------------------------------------
 
-    def build_batch(self, examples, lengths, chunk_rows):
+    def build_batch(self, examples, lengths, chunk_rows, row_len=None,
+                    max_slots=None):
         """Materialize one device batch from packed rows.
 
-        `chunk_rows`: list (≤ max_batch) of rows from `pack_first_fit`,
-        each a list of example indices. Returns (arrays dict, spans list
-        of (row, example idx, start, length), valid token count).
+        `chunk_rows`: list (<= max_batch) of rows from `pack_first_fit`,
+        each a list of example indices; `row_len`/`max_slots` select the
+        tier layout (default: the last = longest tier). Returns (arrays
+        dict, spans list of (row, example idx, start, length), valid
+        token count).
         """
-        b = self._empty_batch(self.max_batch)
+        if row_len is None:
+            row_len, max_slots = self.tiers[-1]
+        b = self._empty_batch(self.max_batch, row_len, max_slots)
         spans: list = []
         valid_tokens = 0
         for r, segs in enumerate(chunk_rows):
@@ -213,28 +230,43 @@ class PackedGateCLServer:
         Returns (tags, stats): `tags[i]` is 1-D int32 at the example's
         true (possibly truncated) length.
         """
-        cfg = self.model.cfg
-        L, S = self.row_len, self.max_slots
-        lengths = [min(len(ex["input_ids"]), L) for ex in examples]
-        rows = pack_first_fit(lengths, L, S)
-
         fn = self._apply_fn()
+        Lmax = self.tiers[-1][0]
+        lengths = [min(len(ex["input_ids"]), Lmax) for ex in examples]
+        by_tier: dict[int, list[int]] = {t: [] for t in
+                                         range(len(self.tiers))}
+        for i, ln in enumerate(lengths):
+            by_tier[self._tier_of(ln)].append(i)
+
         results: list = [None] * len(examples)
         batches = 0
+        total_rows = 0
         valid_tokens = 0
-        for lo in range(0, len(rows), self.max_batch):
-            chunk = rows[lo:lo + self.max_batch]
-            b, spans, toks = self.build_batch(examples, lengths, chunk)
-            valid_tokens += toks
-            tags = np.asarray(fn(
-                self.params, b["ids"], b["pos"], b["types"], b["slot"],
-                b["valid"], b["seg_start"], b["img_mask"],
-                b["visual_grid"], b["seg_gather"]))
-            batches += 1
-            for r, i, a, ln in spans:
-                results[i] = tags[r, a:a + ln].astype(np.int32)
+        cap_tokens = 0
+        total_slots = 0
+        for t, idxs in by_tier.items():
+            if not idxs:
+                continue
+            L, S = self.tiers[t]
+            rows = pack_first_fit([lengths[i] for i in idxs], L, S)
+            rows = [[idxs[j] for j in row] for row in rows]
+            total_rows += len(rows)
+            cap_tokens += len(rows) * L
+            total_slots += len(rows) * S
+            for lo in range(0, len(rows), self.max_batch):
+                chunk = rows[lo:lo + self.max_batch]
+                b, spans, toks = self.build_batch(examples, lengths,
+                                                  chunk, L, S)
+                valid_tokens += toks
+                tags = np.asarray(fn(
+                    self.params, b["ids"], b["pos"], b["types"],
+                    b["slot"], b["valid"], b["seg_start"], b["img_mask"],
+                    b["visual_grid"], b["seg_gather"]))
+                batches += 1
+                for r, i, a, ln in spans:
+                    results[i] = tags[r, a:a + ln].astype(np.int32)
         stats = PackedStats(
-            pairs=len(examples), rows=len(rows), batches=batches,
-            token_fill=valid_tokens / max(1, len(rows) * L),
-            slot_fill=len(examples) / max(1, len(rows) * S))
+            pairs=len(examples), rows=total_rows, batches=batches,
+            token_fill=valid_tokens / max(1, cap_tokens),
+            slot_fill=len(examples) / max(1, total_slots))
         return results, stats

@@ -164,3 +164,19 @@ def test_packed_fill_beats_solo_rows():
     assert stats.rows <= len(exs) // 2
     assert stats.token_fill > 0.5
     assert all(t is not None for t in tags)
+
+
+def test_packed_tiers_route_and_stay_exact():
+    """Two-tier layout: short requests pack into the short tier, long
+    ones into the full-length tier, every decode still exact."""
+    model, params = _model("ip")
+    rng = np.random.default_rng(6)
+    exs = _examples(14, rng)
+    srv = PackedGateCLServer(model, params, tiers=((8, 2), (MAXL, 3)),
+                             max_batch=4)
+    tags, stats = srv.predict(exs)
+    assert stats.pairs == len(exs)
+    pad_id = model.cfg.encoder.pad_token_id
+    for ex, t in zip(exs, tags):
+        ref = _full_pad_reference(model, params, ex, pad_id)
+        np.testing.assert_array_equal(t, ref)
