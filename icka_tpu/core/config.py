@@ -92,6 +92,11 @@ class EncoderConfig:
     # the (B, N, Sq, Sk) score/prob tensors — a serving-mode knob covered
     # by the int8 accuracy-contract tests.
     softmax_dtype: str = "float32"
+    # >0 inserts a Pfeiffer bottleneck adapter in every layer's FFN output
+    # sublayer (see nn.attention.FeedForward) — used by the CoNLL-2000
+    # chunk tagger (`models/chunker.py`, reference utils/GetChunk_v4_vcr.py
+    # :20-23, bert-base + reduction_factor 16 ⇒ adapter_size 48).
+    adapter_size: int = 0
 
     @classmethod
     def roberta_large(cls) -> "EncoderConfig":

@@ -78,6 +78,69 @@ def chunk_arrays(spans: Sequence[Span], hypo_len: int,
     return gather, mask
 
 
+def chunk_mask_v4(token_labels: Sequence[str], mask_len: int):
+    """Faithful port of the reference's BIO→chunk grouping
+    (`utils/GetChunk_v4_vcr.py:104-146`): given BIO chunk tags for the
+    interior positions 1..mask_len-2 of a [CLS] ... [SEP] sequence,
+    build the chunk-internal visibility matrix and the position-sorted
+    chunk offset lists.
+
+    Semantics preserved exactly, including the quirk at :129-133 — an O
+    token *between* an open chunk and a following I is absorbed into the
+    chunk; otherwise O is its own singleton chunk. Row 0 (CLS) and row
+    mask_len-1 (SEP) see everything; chunk members see each other.
+
+    Returns (total_mask (mask_len, mask_len) float32, offsets — list of
+    ascending member-index lists covering every interior position once).
+    """
+    assert len(token_labels) == mask_len - 2
+    total = np.eye(mask_len, dtype=np.float32)
+    total[0, :mask_len] = 1
+    tmp: List[int] = []
+    for i in range(1, mask_len - 1):
+        lab = token_labels[i - 1]
+        if lab[0] == "B":
+            tmp = [i]
+        elif lab[0] == "I":
+            for idx in tmp:
+                total[idx][i] = 1
+                total[i][idx] = 1
+            tmp.append(i)
+        else:
+            # O inside an open B..I run is absorbed (ref :129-133).
+            # NOTE the reference does NOT close the open chunk on a
+            # singleton O — a later "O I" can still absorb into it across
+            # the gap, producing a non-contiguous group. Preserved.
+            if (i != mask_len - 2 and tmp
+                    and token_labels[i][0] == "I"):
+                for idx in tmp:
+                    total[idx][i] = 1
+                    total[i][idx] = 1
+                tmp.append(i)
+    total[mask_len - 1, :mask_len] = 1
+    offsets: List[List[int]] = []
+    seen: set = set()
+    for i in range(1, mask_len - 1):
+        row = np.nonzero(total[i])[0]
+        members = [int(j) for j in row if 0 < j < mask_len - 1]
+        if members[0] not in seen:
+            offsets.append(members)
+            seen.update(members)
+    assert len(seen) == mask_len - 2
+    return total, offsets
+
+
+def bio_spans(token_labels: Sequence[str]) -> List[Span]:
+    """BIO chunk tags for a sentence's tokens → [start, end) spans over
+    those tokens, via the reference grouping (`chunk_mask_v4`). Singleton
+    O tokens come out as length-1 spans — same contract as
+    `heuristic_chunks`, so `chunk_arrays` composes with either chunker."""
+    if not token_labels:
+        return []
+    _, offsets = chunk_mask_v4(token_labels, len(token_labels) + 2)
+    return [(c[0] - 1, c[-1]) for c in offsets]
+
+
 def batch_chunk_arrays(token_lists: Sequence[Sequence[str]],
                        hypo_len: int, max_chunks: int,
                        chunker=heuristic_chunks):

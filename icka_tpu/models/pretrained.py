@@ -257,6 +257,43 @@ def load_backbone(name_or_path: str,
     return resnet_params_from_torch(sd)
 
 
+def load_chunker(name_or_path: str, cache_dir: Optional[str] = None,
+                 bucket: int = 32):
+    """Resolve + convert a local `BertModelWithHeads`+adapter checkpoint
+    into a ready :class:`icka_tpu.models.chunker.ModelChunker` — the
+    one-call equivalent of the reference's
+    ``from_pretrained`` + ``load_adapter`` + ``active_adapters`` dance
+    (`utils/GetChunk_v4_vcr.py:20-23`), against local storage only."""
+    import dataclasses
+
+    from icka_tpu.models.chunker import (
+        ModelChunker,
+        chunker_config,
+        chunker_params_from_torch,
+    )
+
+    directory = resolve(name_or_path, cache_dir)
+    cfg = chunker_config()
+    cfg_path = os.path.join(directory, CONFIG_NAME)
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            d = json.load(f)
+        cfg = dataclasses.replace(cfg, **{
+            k: d[k] for k in (
+                "vocab_size", "hidden_size", "num_hidden_layers",
+                "num_attention_heads", "intermediate_size",
+                "max_position_embeddings", "type_vocab_size",
+                "layer_norm_eps") if k in d})
+    sd = _load_state_dict(directory)
+    # adapter bottleneck width comes from the checkpoint itself
+    for k, v in sd.items():
+        if ".adapters." in k and "adapter_up" in k and k.endswith("weight"):
+            cfg = dataclasses.replace(cfg, adapter_size=int(v.shape[1]))
+            break
+    params = chunker_params_from_torch(sd, cfg.num_hidden_layers)
+    return ModelChunker(params, cfg, bucket=bucket)
+
+
 def load_tf_encoder(ckpt_prefix: str) -> dict:
     """TF-1.x BERT checkpoint prefix → TextEncoder params (component #14
     path, no tensorflow import)."""

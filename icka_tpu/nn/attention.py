@@ -147,7 +147,18 @@ class AttentionOutput(nn.Module):
 
 class FeedForward(nn.Module):
     """Intermediate + Output FFN with post-LN residual
-    (BertIntermediate :539 / BertOutput :525)."""
+    (BertIntermediate :539 / BertOutput :525).
+
+    `adapter_size > 0` inserts a Pfeiffer-style bottleneck adapter in the
+    output sublayer — the architecture behind the reference's CoNLL-2000
+    chunker (`BertModelWithHeads.load_adapter`, `utils/GetChunk_v4_vcr.py:
+    20-23`). Composition (adapter-transformers Pfeiffer config:
+    `original_ln_before/after=True, residual_before_ln=True`):
+
+        pre = wo(act(wi(x))) + x
+        h   = LN(pre)
+        out = LN(up(relu(down(h))) + pre)      # LN weights shared
+    """
 
     intermediate: int
     eps: float
@@ -155,6 +166,7 @@ class FeedForward(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dropout_rate: float = 0.1
     quant: str = "none"
+    adapter_size: int = 0
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -164,7 +176,15 @@ class FeedForward(nn.Module):
         h = Dense(x.shape[-1], dtype=self.dtype, name="wo",
                   quant=self.quant, kernel_axes=("mlp", "embed"))(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return LayerNorm(eps=self.eps, dtype=self.dtype, name="norm")(h + x)
+        norm = LayerNorm(eps=self.eps, dtype=self.dtype, name="norm")
+        if self.adapter_size <= 0:
+            return norm(h + x)
+        pre = h + x
+        a = Dense(self.adapter_size, dtype=self.dtype,
+                  name="adapter_down")(norm(pre))
+        a = Dense(x.shape[-1], dtype=self.dtype,
+                  name="adapter_up")(nn.relu(a))
+        return norm(a + pre)
 
 
 class SelfAttentionLayer(nn.Module):
@@ -209,6 +229,7 @@ class SelfAttentionLayer(nn.Module):
                            dtype=self.dtype,
                            dropout_rate=self.cfg.hidden_dropout_prob,
                            quant=self.cfg.quant,
+                           adapter_size=self.cfg.adapter_size,
                            name="ffn")(x, deterministic)
 
 
