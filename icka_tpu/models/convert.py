@@ -302,9 +302,35 @@ def static_quantize_backbone(target_vars: dict, fp32_vars: dict,
                 "act_scale": np.float32(max(amax, 1e-8) / 127.0),
             }
         if isinstance(t, dict):
-            return {k: walk(v, p[k],
-                            s.get(k, {}) if isinstance(s, dict) else {},
-                            c.get(k) if isinstance(c, dict) else None)
-                    for k, v in t.items()}
+            out = {}
+            for k, v in t.items():
+                if k == "out_scale":
+                    # fused-Pallas chaining scale; filled in below once all
+                    # act_scales exist (it has no fp32 counterpart)
+                    out[k] = np.float32(1.0 / 127.0)
+                    continue
+                out[k] = walk(v, p[k],
+                              s.get(k, {}) if isinstance(s, dict) else {},
+                              c.get(k) if isinstance(c, dict) else None)
+            return out
         return p
-    return {"params": walk(target_vars["params"], fp32, stats, calib)}
+
+    params = walk(target_vars["params"], fp32, stats, calib)
+
+    def fix_out_scales(tree):
+        """`out_scale` of block layerS_B = conv1 act_scale of layerS_{B+1}
+        (the int8-resident chain's output quantization domain)."""
+        for k, v in tree.items():
+            if not isinstance(v, dict):
+                continue
+            if "out_scale" in v:
+                stage, b = k.rsplit("_", 1)
+                nxt = tree.get(f"{stage}_{int(b) + 1}")
+                if nxt is None or "conv1" not in nxt:
+                    raise ValueError(f"fused block {k} has out_scale but "
+                                     f"no successor block")
+                v["out_scale"] = np.float32(nxt["conv1"]["act_scale"])
+            fix_out_scales(v)
+
+    fix_out_scales(params)
+    return {"params": params}

@@ -228,6 +228,8 @@ class StemPoolS2D(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     quant: str = "none"
+    fused_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -297,6 +299,18 @@ class StemPoolS2D(nn.Module):
         views = [xs[:, i:i + ob, j:j + ob, :]
                  for i in range(3) for j in range(3)]
         patches = jnp.concatenate(views, axis=-1)       # (B, ob, ob, 432)
+        if int8_mode and self.fused_pallas:
+            # fused Pallas tail: dot + dequant + relu + s2d maxpool in one
+            # VMEM-resident kernel — the XLA tail materializes the int32
+            # dot output, its fp32 dequant and three pool passes through
+            # HBM (~1.3 GB at B=128). Bit-identical (integer dot, same
+            # epilogue arithmetic; tests/test_kernels.py).
+            from icka_tpu.kernels.conv import int8_stem_pool
+            return int8_stem_pool(
+                patches, w2,
+                (a_s * jnp.tile(w_s, 4)).astype(jnp.float32),
+                jnp.tile(fused_bias, 4).astype(jnp.float32),
+                out_dtype=self.dtype, interpret=self.pallas_interpret)
         if int8_mode:
             y = jax.lax.dot_general(
                 patches, w2, (((3,), (0,)), ((), ())),
@@ -320,6 +334,29 @@ class StemPoolS2D(nn.Module):
         return jnp.maximum(jnp.maximum(q0, q1), q1s)    # (B, ob, ob, 64)
 
 
+class _StaticConvParams(nn.Module):
+    """Parameter-only declaration matching `ConvBN(quant="int8_static")`'s
+    tree (wq / w_scale / fused_bias / act_scale) so the fused-Pallas
+    bottleneck path shares checkpoints with the XLA path bit-for-bit."""
+
+    in_features: int
+    features: int
+    kernel: int = 1
+
+    @nn.compact
+    def __call__(self):
+        k = self.kernel
+        wq = self.param("wq", nn.initializers.zeros,
+                        (k * k * self.in_features, self.features), jnp.int8)
+        w_s = self.param("w_scale", nn.initializers.constant(1.0 / 127.0),
+                         (self.features,), jnp.float32)
+        fb = self.param("fused_bias", nn.initializers.zeros,
+                        (self.features,), jnp.float32)
+        a_s = self.param("act_scale", nn.initializers.constant(1.0 / 127.0),
+                         (), jnp.float32)
+        return wq, w_s, fb, a_s
+
+
 class Bottleneck(nn.Module):
     """1×1 reduce → 3×3 → 1×1 expand (×4) with projection shortcut
     (`resnet/resnet.py:57-93`)."""
@@ -329,9 +366,18 @@ class Bottleneck(nn.Module):
     project: bool = False
     dtype: jnp.dtype = jnp.float32
     quant: str = "none"
+    fused_pallas: bool = False
+    last: bool = True          # fused path: emit bf16 (stage/run boundary)
+    g: int = 1                 # fused path: images per Pallas grid step
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if (self.fused_pallas and self.quant == "int8_static"
+                and self.stride == 1 and not self.project):
+            return self._fused(x)
+        if x.dtype == jnp.int8:
+            raise ValueError("int8-resident input reached a non-fused block")
         out = nn.relu(ConvBN(self.width, 1, dtype=self.dtype,
                              quant=self.quant, name="conv1")(x))
         out = nn.relu(ConvBN(self.width, 3, self.stride, dtype=self.dtype,
@@ -343,6 +389,42 @@ class Bottleneck(nn.Module):
                        quant=self.quant, name="downsample")(x)
         return nn.relu(out + x)
 
+    def _fused(self, x):
+        """Int8-resident fused-Pallas path (serving, identity blocks).
+
+        Consumes int8 in this block's conv1 activation domain when chained
+        from another fused block (the upstream block requantized into it via
+        its `out_scale`), or bf16 from an XLA projection block (quantized
+        here). Emits int8 in the NEXT block's domain, or bf16 when `last`.
+        All requant scales are folded in-graph from the same static-quant
+        params the XLA path serves (O(weights), loop-invariant).
+        """
+        from icka_tpu.kernels.conv import int8_bottleneck_v2
+        Cw, Cin = self.width, 4 * self.width
+        w1, w1s, fb1, a0 = _StaticConvParams(Cin, Cw, 1, name="conv1")()
+        w2, w2s, fb2, q2 = _StaticConvParams(Cw, Cw, 3, name="conv2")()
+        w3, w3s, fb3, q3 = _StaticConvParams(Cw, Cin, 1, name="conv3")()
+        if self.last:
+            aN = jnp.float32(1.0)
+        else:
+            # set by `static_quantize_backbone` to the NEXT block's conv1
+            # act_scale (init matches the act_scale init, so random-init
+            # benches stay self-consistent)
+            aN = self.param("out_scale",
+                            nn.initializers.constant(1.0 / 127.0),
+                            (), jnp.float32)
+        if x.dtype != jnp.int8:
+            x = jnp.clip(jnp.round(x.astype(jnp.float32) / a0),
+                         -127, 127).astype(jnp.int8)
+        g = self.g if x.shape[0] % self.g == 0 else 1
+        return int8_bottleneck_v2(
+            x, w1, w2, w3,
+            (a0 * w1s / q2).astype(jnp.float32), fb1 / q2,
+            (q2 * w2s / q3).astype(jnp.float32), fb2 / q3,
+            (q3 * w3s / aN).astype(jnp.float32), fb3 / aN,
+            a0 / aN, out_bf16=self.last, g=g,
+            interpret=self.pallas_interpret)
+
 
 class ResNet(nn.Module):
     """torchvision-layout ResNet. `layers=[3, 8, 36, 3]` = ResNet-152."""
@@ -351,9 +433,25 @@ class ResNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     quant: str = "none"
     stem_s2d: bool = True
+    # fused_stem: the winning stem Pallas kernel (dot+epilogue+pool in one
+    # VMEM-resident pass; bit-identical to the XLA s2d tail — DESIGN.md
+    # r04). fused_pallas: the full int8-resident fused-bottleneck chain —
+    # correct and tested, but measured SLOWER than XLA's int8 chain at
+    # every production stage shape (DESIGN.md r04 A/B), so perf callers
+    # enable fused_stem only.
+    fused_stem: bool = False
+    fused_pallas: bool = False
+    pallas_interpret: bool = False
+
+    # images per Pallas grid step by stage index: deeper stages have tiny
+    # spatial extent, so packing g images per program keeps the 1×1 dots'
+    # M dimension MXU-sized (g falls back to 1 when B % g != 0)
+    _FUSED_G = (1, 2, 4, 8)
 
     @nn.compact
     def __call__(self, x):
+        int8s = self.quant == "int8_static" and self.dtype == jnp.bfloat16
+        fused = self.fused_pallas and int8s
         if self.stem_s2d and x.shape[1] % 4 == 0 and x.shape[1] >= 8 \
                 and x.shape[1] == x.shape[2]:
             # space-to-depth stem+pool: exact, 128-lane-aligned rewrite of
@@ -361,6 +459,9 @@ class ResNet(nn.Module):
             # MXU at batch 128 (the single worst op in the net). Params
             # are ConvBN-compatible; odd input sizes fall back below.
             x = StemPoolS2D(dtype=self.dtype, quant=self.quant,
+                            fused_pallas=fused or (self.fused_stem
+                                                   and int8s),
+                            pallas_interpret=self.pallas_interpret,
                             name="stem")(x)
         else:
             x = nn.relu(ConvBN(64, 7, 2, dtype=self.dtype,
@@ -373,6 +474,10 @@ class ResNet(nn.Module):
                 stride = 2 if (b == 0 and stage > 0) else 1
                 x = Bottleneck(width, stride, project=(b == 0),
                                dtype=self.dtype, quant=self.quant,
+                               fused_pallas=fused,
+                               last=(b == blocks - 1),
+                               g=self._FUSED_G[min(stage, 3)],
+                               pallas_interpret=self.pallas_interpret,
                                name=f"layer{stage + 1}_{b}")(x)
         return x  # (B, 7, 7, 2048) for 224×224 input
 
@@ -397,10 +502,16 @@ class VisualBackbone(nn.Module):
     fine_tune: bool = False
     dtype: jnp.dtype = jnp.float32
     quant: str = "none"
+    fused_stem: bool = False
+    fused_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, images):
         feat = ResNet(self.layers, dtype=self.dtype, quant=self.quant,
+                      fused_stem=self.fused_stem,
+                      fused_pallas=self.fused_pallas,
+                      pallas_interpret=self.pallas_interpret,
                       name="resnet")(images)
         if not self.fine_tune:
             feat = jax.lax.stop_gradient(feat)

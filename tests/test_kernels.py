@@ -75,3 +75,134 @@ def test_mha_pallas_path_matches_einsum(rng):
     got = fast.apply(params, x, kv, jnp.asarray(bias))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-5)
+
+
+# --- round-4 v2 fused conv kernels -----------------------------------------
+
+
+def test_bottleneck_v2_bit_exact(rng):
+    """Patch-concat fused bottleneck == XLA reference semantics, bitwise."""
+    from icka_tpu.kernels.conv import (bottleneck_reference,
+                                       int8_bottleneck_v2)
+    B, H, W, Cw = 4, 8, 8, 16
+    Cin = 4 * Cw
+    x = jnp.asarray(rng.integers(-127, 128, (B, H, W, Cin)), jnp.int8)
+    w1 = jnp.asarray(rng.integers(-127, 128, (Cin, Cw)), jnp.int8)
+    w2 = jnp.asarray(rng.integers(-127, 128, (9 * Cw, Cw)), jnp.int8)
+    w3 = jnp.asarray(rng.integers(-127, 128, (Cw, Cin)), jnp.int8)
+    s1 = jnp.asarray(rng.uniform(1e-4, 1e-3, (Cw,)), jnp.float32)
+    b1 = jnp.asarray(rng.normal(0, 1, (Cw,)), jnp.float32)
+    s2 = jnp.asarray(rng.uniform(1e-4, 1e-3, (Cw,)), jnp.float32)
+    b2 = jnp.asarray(rng.normal(0, 1, (Cw,)), jnp.float32)
+    s3 = jnp.asarray(rng.uniform(1e-4, 1e-3, (Cin,)), jnp.float32)
+    b3 = jnp.asarray(rng.normal(0, 1, (Cin,)), jnp.float32)
+    for out_bf16 in (False, True):
+        for g in (1, 2):
+            got = int8_bottleneck_v2(
+                x, w1, w2, w3, s1, b1, s2, b2, s3, b3, 0.37,
+                out_bf16=out_bf16, g=g, interpret=not ON_TPU)
+            ref = bottleneck_reference(
+                x, w1, w2, w3, s1, b1, s2, b2, s3, b3,
+                res_scale=0.37, out_bf16=out_bf16)
+            assert bool(jnp.all(got == ref)), (out_bf16, g)
+
+
+def test_stem_pool_kernel_bit_exact(rng):
+    """Fused stem dot+epilogue+s2d-maxpool == the XLA StemPoolS2D tail."""
+    from icka_tpu.kernels.conv import int8_stem_pool
+    B, OB, F, K = 3, 8, 64, 432
+    pt = jnp.asarray(rng.integers(-127, 128, (B, OB, OB, K)), jnp.int8)
+    w = jnp.asarray(rng.integers(-127, 128, (K, 4 * F)), jnp.int8)
+    sc = jnp.asarray(rng.uniform(1e-4, 1e-3, (4 * F,)), jnp.float32)
+    bs = jnp.asarray(rng.normal(0, 0.5, (4 * F,)), jnp.float32)
+    got = int8_stem_pool(pt, w, sc, bs, interpret=not ON_TPU)
+    # reference = the XLA StemPoolS2D tail, including its bf16 rounding
+    # points ((int32->fp32 * scale) -> bf16, + bf16 bias, pool in bf16)
+    y = jax.lax.dot_general(pt, w, (((3,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = (y.astype(jnp.float32) * sc).astype(jnp.bfloat16) \
+        + bs.astype(jnp.bfloat16)
+    y = jnp.maximum(y.reshape(B, OB, OB, 2, 2, F),
+                    jnp.zeros((), jnp.bfloat16))
+    p0, p1 = y[:, :, :, 0], y[:, :, :, 1]
+    p1s = jnp.pad(p1, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :OB]
+    r = jnp.maximum(jnp.maximum(p0, p1), p1s)
+    q0, q1 = r[:, :, :, 0], r[:, :, :, 1]
+    q1s = jnp.pad(q1, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :OB]
+    ref = jnp.maximum(jnp.maximum(q0, q1), q1s).astype(jnp.bfloat16)
+    assert bool(jnp.all(got == ref))
+
+
+def test_fused_backbone_matches_production(rng):
+    """End-to-end: fused-Pallas int8_static backbone vs the XLA int8_static
+    path, both quantized from the same fp32 weights via the real converter
+    (exercises the out_scale chaining fix-up). The int8-resident chain
+    skips the production path's bf16 round-trips between convs, so the
+    contract is closeness, not bit-equality."""
+    from icka_tpu.models.resnet import VisualBackbone
+    from icka_tpu.models.convert import static_quantize_backbone
+
+    layers = (2, 2)
+    B = 4
+    imgs = rng.standard_normal((B, 32, 32, 3)).astype(np.float32) * 0.5
+
+    fp32 = VisualBackbone(layers=layers, att_size=2, dtype=jnp.float32)
+    fvars = fp32.init(jax.random.PRNGKey(0), jnp.asarray(imgs))
+
+    dyn = VisualBackbone(layers=layers, att_size=2, dtype=jnp.bfloat16,
+                         quant="int8")
+    _, calib = dyn.apply(
+        {"params": fvars["params"], "batch_stats": fvars["batch_stats"]},
+        jnp.asarray(imgs, jnp.bfloat16), mutable=["calib"])
+
+    fused_model = VisualBackbone(layers=layers, att_size=2,
+                                 dtype=jnp.bfloat16, quant="int8_static",
+                                 fused_pallas=True,
+                                 pallas_interpret=not ON_TPU)
+    tvars = fused_model.init(jax.random.PRNGKey(1),
+                             jnp.asarray(imgs, jnp.bfloat16))
+    qvars = static_quantize_backbone(tvars, fvars, calib["calib"])
+
+    def drop_out_scale(t):
+        if isinstance(t, dict):
+            return {k: drop_out_scale(v) for k, v in t.items()
+                    if k != "out_scale"}
+        return t
+
+    prod = VisualBackbone(layers=layers, att_size=2, dtype=jnp.bfloat16,
+                          quant="int8_static")
+    _, _, att_prod = prod.apply(drop_out_scale(qvars),
+                                jnp.asarray(imgs, jnp.bfloat16))
+    _, _, att_fused = fused_model.apply(qvars,
+                                        jnp.asarray(imgs, jnp.bfloat16))
+    a = np.asarray(att_prod, np.float32).ravel()
+    b = np.asarray(att_fused, np.float32).ravel()
+    cos = float((a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.995, cos
+    _, _, att_fp32 = fp32.apply(fvars, jnp.asarray(imgs))
+    c = np.asarray(att_fp32, np.float32).ravel()
+    cos_fp32 = float((b @ c) / (np.linalg.norm(b) * np.linalg.norm(c) + 1e-9))
+    assert cos_fp32 > 0.99, cos_fp32
+
+
+def test_fused_stem_bit_identical_to_xla_stem(rng):
+    """StemPoolS2D(fused_pallas=True) is bit-identical to the XLA s2d stem
+    (same integer dot, same epilogue arithmetic)."""
+    from icka_tpu.models.resnet import StemPoolS2D
+    B = 2
+    x = jnp.asarray(rng.standard_normal((B, 32, 32, 3)), jnp.bfloat16)
+    ref_m = StemPoolS2D(dtype=jnp.bfloat16, quant="int8_static")
+    v = ref_m.init(jax.random.PRNGKey(0), x)
+    v = jax.tree.map(lambda a: a, v)
+    # random non-trivial weights
+    p = dict(v["params"])
+    rngs = np.random.default_rng(1)
+    p["wq"] = jnp.asarray(rngs.integers(-127, 128, (147, 64)), jnp.int8)
+    p["w_scale"] = jnp.asarray(rngs.uniform(1e-4, 1e-3, (64,)), jnp.float32)
+    p["fused_bias"] = jnp.asarray(rngs.normal(0, 0.5, (64,)), jnp.float32)
+    v = {"params": p}
+    want = ref_m.apply(v, x)
+    got = StemPoolS2D(dtype=jnp.bfloat16, quant="int8_static",
+                      fused_pallas=True,
+                      pallas_interpret=not ON_TPU).apply(v, x)
+    assert bool(jnp.all(got == want))

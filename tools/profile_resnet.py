@@ -73,6 +73,8 @@ class _Stage(nn.Module):
     first_stride: int
     dtype: jnp.dtype = jnp.bfloat16
     quant: str = "none"
+    fused_pallas: bool = False
+    g: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -80,7 +82,9 @@ class _Stage(nn.Module):
         for b in range(self.blocks):
             x = Bottleneck(self.width, self.first_stride if b == 0 else 1,
                            project=(b == 0), dtype=self.dtype,
-                           quant=self.quant, name=f"b{b}")(x)
+                           quant=self.quant, fused_pallas=self.fused_pallas,
+                           last=(b == self.blocks - 1), g=self.g,
+                           name=f"b{b}")(x)
         return x
 
 
@@ -88,12 +92,14 @@ class _Stem(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     quant: str = "none"
     s2d: bool = True
+    fused_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
         from icka_tpu.models.resnet import ConvBN, StemPoolS2D
         if self.s2d:
             return StemPoolS2D(dtype=self.dtype, quant=self.quant,
+                               fused_pallas=self.fused_pallas,
                                name="stem")(x)
         x = nn.relu(ConvBN(64, 7, 2, dtype=self.dtype, quant=self.quant,
                            name="stem")(x))
@@ -129,7 +135,11 @@ def main():
     p.add_argument("--int8", action="store_true")
     p.add_argument("--pallas_conv", action="store_true",
                    help="route bottleneck stages through the fused Pallas "
-                        "int8 conv kernel (requires --int8)")
+                        "int8 conv kernel (requires --int8; measured "
+                        "negative result, see DESIGN.md r04)")
+    p.add_argument("--fused_stem", action="store_true",
+                   help="use the fused stem Pallas kernel (bit-identical; "
+                        "requires --int8)")
     p.add_argument("--ab", action="store_true",
                    help="run layout A/B microbenchmarks")
     p.add_argument("--stages", default="all")
@@ -170,7 +180,8 @@ def main():
         report("preprocess", t, 0)
 
     if "stem" in want:
-        stem = _Stem(dtype=dtype, quant=quant)
+        stem = _Stem(dtype=dtype, quant=quant,
+                     fused_pallas=args.pallas_conv or args.fused_stem)
         x = jnp.asarray(rng.standard_normal((B, 224, 224, 3)), dtype)
         sv = stem.init(key, x)
 
@@ -191,7 +202,8 @@ def main():
         if name not in want:
             continue
         st = _Stage(width=w, blocks=blk, first_stride=s, dtype=dtype,
-                    quant=quant)
+                    quant=quant, fused_pallas=args.pallas_conv,
+                    g={56: 1, 28: 2, 14: 4, 7: 8}.get(hw // s, 1))
         x = jnp.asarray(rng.standard_normal((B, hw, hw, cin)), dtype)
         pv = st.init(key, x)
         out_hw = hw // s
@@ -205,7 +217,9 @@ def main():
 
     if "full" in want:
         from icka_tpu.models.resnet import VisualBackbone
-        bb = VisualBackbone(layers=(3, 8, 36, 3), dtype=dtype, quant=quant)
+        bb = VisualBackbone(layers=(3, 8, 36, 3), dtype=dtype, quant=quant,
+                            fused_stem=args.fused_stem,
+                            fused_pallas=args.pallas_conv)
         bv = bb.init(key, jnp.zeros((1, 224, 224, 3), dtype))
         imgs = jax.device_put(
             rng.integers(0, 255, (B, 256, 256, 3)).astype(np.uint8))
