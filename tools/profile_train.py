@@ -107,6 +107,15 @@ def main():
         "backbone", "fwd", "grad", "step"}
     results = {}
 
+    params, bvars = state.params, state.backbone_variables
+    if "step" not in want:
+        # batch 16 is the single-chip HBM knee for the FULL step; the
+        # grad-only program cannot donate params AND the Adam moments
+        # stay resident while `state` is alive, so grad-profiling OOMs
+        # unless the moments are released.  Profile `step` in its own
+        # process: python tools/profile_train.py --stages step
+        state = None
+
     def report(name, secs):
         results[name] = secs
         print(f"{name:10s}: {secs * 1e3:7.1f} ms/step "
@@ -135,7 +144,7 @@ def main():
             return out, out
         report("backbone", loop_time(
             run_bb, jnp.zeros(()), inner,
-            args=(state.backbone_variables, bdev)))
+            args=(bvars, bdev)))
 
     if "fwd" in want:
         @jax.jit
@@ -149,7 +158,7 @@ def main():
             return out, out
         report("fwd", loop_time(
             run_fwd, jnp.zeros(()), inner,
-            args=(state.params, state.backbone_variables, bdev)))
+            args=(params, bvars, bdev)))
 
     if "grad" in want:
         @jax.jit
@@ -167,7 +176,7 @@ def main():
             return out, out
         report("grad", loop_time(
             run_grad, jnp.zeros(()), inner,
-            args=(state.params, state.backbone_variables, bdev)))
+            args=(params, bvars, bdev)))
 
     if "step" in want:
         step_fn = trainer.make_train_step()
