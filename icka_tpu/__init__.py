@@ -42,6 +42,14 @@ _LAZY = {
     "ImageBertSequenceClassifier": "icka_tpu.models.oscar",
     "OscarMultipleChoice": "icka_tpu.models.oscar",
     "ImageBertPreTraining": "icka_tpu.models.oscar",
+    # serving engines (no reference equivalent; see MIGRATION.md)
+    "BucketedGateCLServer": "icka_tpu.serving.bucketed",
+    "BucketedICKAServer": "icka_tpu.serving.bucketed",
+    "PackedGateCLServer": "icka_tpu.serving.packing",
+    # local pretrained-weights resolution
+    "load_text_encoder": "icka_tpu.models.pretrained",
+    "load_backbone": "icka_tpu.models.pretrained",
+    "load_chunker": "icka_tpu.models.pretrained",
 }
 
 

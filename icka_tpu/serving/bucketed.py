@@ -51,6 +51,18 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _dp_shardings(mesh, axis: str = "data"):
+    """(replicated, batch-sharded) NamedShardings for DP serving: params
+    replicate, every batch input shards its leading dim over `axis`. XLA
+    then runs each replica's bucket program independently — serving
+    throughput scales linearly with mesh size (no collectives in the
+    forward graph; decode output gathers back to the host)."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+    return repl, data
 
 
 def pick_bucket(length: int, buckets: Sequence[int]) -> int:
@@ -105,7 +117,7 @@ class BucketedGateCLServer:
 
     def __init__(self, model, params,
                  buckets: Sequence[int] = (16, 24, 32, 48, 64, 128),
-                 max_batch=None):
+                 max_batch=None, mesh=None):
         buckets = tuple(sorted(buckets))
         if buckets[-1] != model.cfg.max_seq_length:
             raise ValueError(
@@ -115,6 +127,16 @@ class BucketedGateCLServer:
         self.params = params
         self.buckets = buckets
         self.max_batch = max_batch
+        self.mesh = mesh
+        if mesh is not None:
+            n = mesh.devices.size
+            for b in buckets:
+                if self._batch_of(b) % n:
+                    raise ValueError(
+                        f"bucket {b} batch {self._batch_of(b)} not "
+                        f"divisible by mesh size {n}")
+            repl, _ = _dp_shardings(mesh)
+            self.params = jax.device_put(params, repl)
         self._fns: dict[int, Callable] = {}
 
     def _batch_of(self, bucket: int) -> int:
@@ -128,13 +150,17 @@ class BucketedGateCLServer:
         if bucket not in self._fns:
             model = self.model
 
-            @jax.jit
             def fn(params, input_ids, segment_ids, input_mask, img_mask,
                    visual_mean, visual_grid):
                 return model.apply(params, input_ids, segment_ids,
                                    input_mask, img_mask, visual_mean,
                                    visual_grid)
 
+            if self.mesh is None:
+                fn = jax.jit(fn)
+            else:
+                repl, data = _dp_shardings(self.mesh)
+                fn = jax.jit(fn, in_shardings=(repl,) + (data,) * 6)
             self._fns[bucket] = fn
         return self._fns[bucket]
 
@@ -239,7 +265,7 @@ class BucketedICKAServer:
     def __init__(self, model, params,
                  buckets: Sequence[int] = (16, 24, 32, 48, 64, 128),
                  max_batch: int = 128, offset: int = 14,
-                 mask_positions: tuple = (3, 11)):
+                 mask_positions: tuple = (3, 11), mesh=None):
         buckets = tuple(sorted(buckets))
         if buckets[-1] != model.cfg.max_seq_length:
             raise ValueError(
@@ -251,16 +277,30 @@ class BucketedICKAServer:
         self.max_batch = max_batch
         self.offset = offset
         self.mask_positions = tuple(mask_positions)
+        self.mesh = mesh
+        if mesh is not None:
+            if max_batch % mesh.devices.size:
+                raise ValueError(
+                    f"max_batch {max_batch} not divisible by mesh size "
+                    f"{mesh.devices.size}")
+            repl, _ = _dp_shardings(mesh)
+            self.params = jax.device_put(params, repl)
         self._fns: dict[int, Callable] = {}
 
     def _apply_fn(self, bucket: int) -> Callable:
         if bucket not in self._fns:
             model, mp, off = self.model, self.mask_positions, self.offset
 
-            @jax.jit
             def fn(params, batch):
                 return model.apply(params, batch, mp, off, mode="test")
 
+            if self.mesh is None:
+                fn = jax.jit(fn)
+            else:
+                repl, data = _dp_shardings(self.mesh)
+                # `data` is a pytree prefix: every leaf of the batch dict
+                # shards its leading (batch) dim over the data axis.
+                fn = jax.jit(fn, in_shardings=(repl, data))
             self._fns[bucket] = fn
         return self._fns[bucket]
 

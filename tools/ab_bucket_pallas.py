@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--quant", default="int8_static")
+    ap.add_argument("--enc_layers", type=int, default=6,
+                    help="encoder slice depth (6 = 1/4 of RoBERTa-large; "
+                    "the pallas-vs-einsum verdict is per-layer, so a "
+                    "slice answers it at 1/4 the compile cost — same "
+                    "methodology as tools/profile_stages.py)")
     args = ap.parse_args()
     buckets = tuple(int(b) for b in args.buckets.split(","))
 
@@ -50,6 +55,12 @@ def main():
     from icka_tpu.models.icka import ICKAModel  # noqa: E402
 
     cfg0 = ICKAConfig()
+    cfg0 = dataclasses.replace(
+        cfg0,
+        embedding=dataclasses.replace(
+            cfg0.embedding, num_hidden_layers=args.enc_layers),
+        last_encoder=dataclasses.replace(
+            cfg0.last_encoder, num_hidden_layers=args.enc_layers))
     offset, mask_positions = 14, (3, 11)
     rng = np.random.default_rng(0)
     dtype = jnp.bfloat16

@@ -27,6 +27,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--inner", type=int, default=20)
+    p.add_argument("--seqs", default=None,
+                   help="comma list of extra self-attention seq lengths "
+                   "(e.g. 16,24,38,48 — the bucketed engine's short "
+                   "shapes, where the kernel's one-element-per-grid-step "
+                   "layout may starve the MXU)")
     args = p.parse_args()
     _enable_cache()
 
@@ -38,6 +43,9 @@ def main():
     B, D, N = args.batch, 1024, 16
     rng = np.random.default_rng(0)
     shapes = [("self150", 150, 150), ("cross128x49", 128, 49)]
+    if args.seqs:
+        shapes += [(f"self{s}", int(s), int(s))
+                   for s in args.seqs.split(",")]
     for name, Sq, Sk in shapes:
         q = jnp.asarray(rng.standard_normal((B, Sq, D)), jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((B, Sk, D)), jnp.bfloat16)
