@@ -1079,6 +1079,149 @@ def bench_train(quick: bool, batch: int, iters: int,
     return pairs
 
 
+def bench_icka_packed(quick: bool, iters: int,
+                      quant_mode: str = "int8_static",
+                      batch: int = 32, median: float = 22.0):
+    """Sequence-PACKED flagship serving (VERDICT r04 next #4): the
+    latency-bound serving mode for ICKAModel. Same tiered layout and
+    exact-isolation contract as bench_gate_cl_packed, but every row
+    carries the flagship's spliced prompt+sentence pair per segment
+    (PromptSpliceEncoder packed path) plus per-slot visual keys for the
+    5-layer txt2img stack, the BiLSTM reset-scan, and the Viterbi
+    lattice cut. Weighted over tiers exactly like the gate_cl bench."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from icka_tpu.core.config import EncoderConfig, ICKAConfig
+    from icka_tpu.models.icka import ICKAModel
+    from icka_tpu.serving.bucketed import sample_tweet_lengths
+    from icka_tpu.serving.packing import PackedICKAServer, pack_first_fit
+
+    if quick:
+        enc = EncoderConfig(vocab_size=1024, hidden_size=256,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            intermediate_size=512)
+        cfg = ICKAConfig(embedding=enc, last_encoder=enc, layer_num1=2,
+                         clip_dim=128, prompt_hidden=128, last_hidden=256,
+                         max_seq_length=64)
+        batch = 4
+    else:
+        cfg = ICKAConfig()
+        rep = dict(use_pallas=jax.default_backend() == "tpu",
+                   quant=quant_mode)
+        cfg = dataclasses.replace(
+            cfg,
+            embedding=dataclasses.replace(cfg.embedding, **rep),
+            last_encoder=dataclasses.replace(cfg.last_encoder, **rep))
+        iters = max(iters, 24)
+
+    offset, mask_positions = 14, (3, 11)
+    model = ICKAModel(cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+
+    init_b = _batch(cfg, 2, offset, rng, 64)
+    init_b.pop("images")
+    init_b["visual_mean"] = np.zeros((2, cfg.region_dim), np.float32)
+    init_b["visual_grid"] = np.zeros((2, 7, 7, cfg.region_dim), np.float32)
+    params = model.init(jax.random.PRNGKey(0), init_b, mask_positions,
+                        offset, mode="test")
+
+    srv = PackedICKAServer(model, params, mask_positions, offset,
+                           max_batch=batch)
+
+    def tier_batch(t, med):
+        Lt, St = srv.tiers[t]
+        lens, draws = [], 0
+        gen = np.random.default_rng(11 + t)
+        while draws < 50 and len(lens) < batch * St * 2:
+            draws += 1
+            cand = sample_tweet_lengths(batch * St * 4, gen,
+                                        max_len=srv.tiers[-1][0],
+                                        median=med)
+            lens += [int(x) for x in cand if srv._tier_of(int(x)) == t]
+        rows = pack_first_fit(lens, Lt, St)[:batch]
+        exs, rows2 = [], []
+        for row in rows:
+            r2 = []
+            for i in row:
+                r2.append(len(exs))
+                exs.append({
+                    "ori_input_ids": rng.integers(
+                        2, cfg.embedding.vocab_size, lens[i])
+                    .astype(np.int32),
+                    "clip_features": rng.standard_normal(
+                        (1, cfg.clip_dim)).astype(np.float32),
+                    "visual_mean": rng.standard_normal(
+                        (cfg.region_dim,)).astype(np.float32),
+                    "visual_grid": rng.standard_normal(
+                        (7, 7, cfg.region_dim)).astype(np.float32),
+                })
+            rows2.append(r2)
+        lengths = [len(ex["ori_input_ids"]) for ex in exs]
+        b, _, toks = srv.build_batch(exs, lengths, rows2, Lt, St)
+        return b, len(exs), toks / (batch * Lt)
+
+    def tier_shares(med):
+        lens = sample_tweet_lengths(100_000, np.random.default_rng(3),
+                                    max_len=srv.tiers[-1][0], median=med)
+        share = [0.0] * len(srv.tiers)
+        for ln in lens:
+            share[srv._tier_of(int(ln))] += 1.0 / len(lens)
+        return share
+
+    def infer(p, b, prev):
+        dep = jnp.where(jnp.sum(prev) > jnp.int32(2 ** 30), 1, 0) \
+            .astype(jnp.int32)
+        b2 = dict(b, ids=b["ids"] + dep)
+        return srv.apply_packed(p, b2)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def infer_loop(p, b, prev, n):
+        return jax.lax.fori_loop(0, n, lambda i, pr: infer(p, b, pr), prev)
+
+    def measure_tier(t, med):
+        b, pairs, fill = tier_batch(t, med)
+        Lt = srv.tiers[t][0]
+        db = jax.device_put(b)
+        prev = jnp.zeros((batch, Lt), jnp.int32)
+        out = infer_loop(params, db, prev, iters)
+        np.asarray(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = infer_loop(params, db, out, iters)
+            np.asarray(out)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best, pairs, fill
+
+    def weighted(med, per_tier):
+        shares = tier_shares(med)
+        return 1.0 / sum(
+            shares[t] * per_tier[t][0] / per_tier[t][1]
+            for t in range(len(srv.tiers)) if shares[t] > 0)
+
+    per_tier = {}
+    detail = {"tiers": {}, "batch": batch}
+    for t, (Lt, St) in enumerate(srv.tiers):
+        step, pairs, fill = measure_tier(t, median)
+        per_tier[t] = (step, pairs)
+        detail["tiers"][f"L{Lt}xS{St}"] = {
+            "pairs_per_batch": pairs, "step_ms": round(step * 1e3, 2),
+            "token_fill": round(fill, 3),
+            "pairs_per_sec": round(pairs / step, 1)}
+        print(f"# icka packed tier L={Lt} S={St}: "
+              f"{pairs / step:.1f} pairs/s ({step * 1e3:.2f} ms/step, "
+              f"{pairs} pairs/batch, fill {fill:.2f})", file=sys.stderr)
+
+    pps = weighted(median, per_tier)
+    print(f"# icka packed weighted: {pps:.1f} pairs/s "
+          f"(tiers {srv.tiers})", file=sys.stderr)
+    return pps, detail
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
@@ -1130,7 +1273,15 @@ def main(argv=None):
                    help="gate_cl_bucketed only: run ResNet-152 on uint8 "
                         "images inside the jitted loop — the image+sentence "
                         "number comparable to the north star")
+    p.add_argument("--budget_s", type=float,
+                   default=float(os.environ.get("BENCH_BUDGET_S", 2700)),
+                   help="wall-clock budget for the full suite: sub-benches "
+                        "whose START would exceed it are skipped and "
+                        "recorded in skipped_over_budget (VERDICT r04 "
+                        "next #1 — one timeout must not destroy the "
+                        "round's artifact)")
     args = p.parse_args(argv)
+    t_start = time.perf_counter()
 
     if args.quick:
         # force CPU for smoke runs — jax may be pre-imported with a TPU
@@ -1168,115 +1319,151 @@ def main(argv=None):
 
     extra = {}
     if args.model in ("icka", "all"):
-        # fixed-128 reference layout in the best mode: calibrated-static
-        # int8 + Pallas self-attention, batch 128 (r03 sweep: 586
-        # int8_static vs 530 int8-dynamic vs 465 bf16). On a bare full
-        # run this becomes an extra and the bucketed serving number is
-        # promoted to the headline (see below); --int8/--int8_static/
-        # --no_pallas/--batch_sizes keep the fixed-shape headline for A/Bs.
-        headline_int8 = int8_on or not args.quick
+        # The full suite (VERDICT r04 next #1 redesign): sub-benches run
+        # in PRIORITY order — the six must-record keys first (flagship
+        # bucketed, gate_cl bucketed, gate_cl+backbone, packed, train,
+        # e2e), long-tail extras last — and the full cumulative JSON line
+        # is re-printed after EVERY completed sub-bench. The driver parses
+        # the LAST line, so each re-print supersedes the previous one and
+        # a timeout mid-suite still leaves every completed number in the
+        # artifact. --budget_s additionally skips sub-benches whose start
+        # would exceed the wall-clock budget so the suite finalizes
+        # cleanly instead of being killed.
+        headline_fixed = bool(int8_on or args.batch_sizes or args.no_pallas
+                              or args.quick or args.skip_extras)
         headline_mode = quant_mode if int8_on else "int8_static"
-        value, best_bs = bench_icka(args.quick, batch_sizes, iters,
-                                    pallas=use_pallas,
-                                    int8=headline_int8,
-                                    quant_mode=headline_mode,
-                                    fuse_qkv=args.fuse_qkv,
-                                    softmax_bf16=args.softmax_bf16)
-        metric = "icka_inference_pairs_per_sec_per_chip"
-        if headline_int8:
-            metric = (f"icka_{headline_mode}"
-                      "_inference_pairs_per_sec_per_chip")
-        extra["icka_batch"] = best_bs
-        # record the companion numbers in the same artifact (VERDICT r01:
-        # "what isn't recorded didn't happen")
-        if not args.skip_extras and not args.quick:
+        headline_int8 = int8_on or not args.quick
+        if not headline_fixed:
+            metric0 = "icka_bucketed_serving_pairs_per_sec_per_chip"
+        elif headline_int8:
+            metric0 = (f"icka_{headline_mode}"
+                       "_inference_pairs_per_sec_per_chip")
+        else:
+            metric0 = "icka_inference_pairs_per_sec_per_chip"
+        out = {"metric": metric0, "value": 0.0, "unit": "pairs/s",
+               "vs_baseline": 0.0}
+
+        def emit():
+            out["vs_baseline"] = round(
+                (out["value"] or 0.0) / BASELINE_PAIRS_PER_SEC, 4)
+            print(json.dumps(out), flush=True)
+
+        def run_task(name, fn):
+            spent = time.perf_counter() - t_start
+            if spent > args.budget_s:
+                out.setdefault("skipped_over_budget", []).append(name)
+                print(f"# SKIP {name}: {spent:.0f}s spent > "
+                      f"--budget_s {args.budget_s:.0f}", file=sys.stderr)
+                emit()
+                return
             try:
-                v16, _ = bench_icka(args.quick, [128], iters,
-                                    pallas=use_pallas, int8=False)
-                extra["icka_bf16_pairs_per_sec"] = round(v16, 2)
+                fn()
             except Exception as e:      # pragma: no cover
-                print(f"# bf16 bench failed: {e}", file=sys.stderr)
-            try:
-                # pallas measured SLOWER for gate_cl (3778 vs 3995 pairs/s
-                # at batch 128: BERT-base 12-head/64-dim shapes) — einsum
-                # path stays the gate_cl default. int8_static is the
-                # serving mode (4586 vs 3940 bf16, r03).
-                g8, gbs = bench_gate_cl(args.quick, [128], iters,
-                                        int8=True,
-                                        quant_mode="int8_static")
-                extra["gate_cl_int8_pairs_per_sec"] = round(g8, 2)
-                extra["gate_cl_batch"] = gbs
-            except Exception as e:      # pragma: no cover
-                print(f"# gate_cl int8 bench failed: {e}", file=sys.stderr)
-            try:
-                g, _ = bench_gate_cl(args.quick, [128], iters)
-                extra["gate_cl_bf16_pairs_per_sec"] = round(g, 2)
-            except Exception as e:      # pragma: no cover
-                print(f"# gate_cl bench failed: {e}", file=sys.stderr)
-            try:
-                # length-bucketed serving engine (icka_tpu.serving): the
-                # production-serving number on the documented tweet-length
-                # distribution; the fixed-128 numbers above stay the
-                # reference-layout comparison.
-                gb, gdetail = bench_gate_cl_bucketed(args.quick, iters)
-                extra["gate_cl_bucketed_pairs_per_sec"] = round(gb, 2)
-                extra["gate_cl_bucket_detail"] = gdetail
-            except Exception as e:      # pragma: no cover
-                print(f"# gate_cl bucketed bench failed: {e}",
-                      file=sys.stderr)
-            try:
-                # sequence-packed serving (icka_tpu.serving.packing): the
-                # engine that fills rows to ~95% instead of paying bucket
-                # padding (VERDICT r03 next #3)
-                gp, gpdetail = bench_gate_cl_packed(args.quick, iters)
-                extra["gate_cl_packed_pairs_per_sec"] = round(gp, 2)
-                extra["gate_cl_packed_detail"] = gpdetail
-            except Exception as e:      # pragma: no cover
-                print(f"# gate_cl packed bench failed: {e}",
-                      file=sys.stderr)
-            try:
-                # the north-star-comparable gate_cl number: image+sentence
-                # pairs with ResNet-152 inside the loop (VERDICT r03 #2)
-                gbb, gbbd = bench_gate_cl_bucketed(args.quick, iters,
-                                                   with_backbone=True)
-                extra["gate_cl_bucketed_with_backbone_pairs_per_sec"] = \
-                    round(gbb, 2)
-                extra["gate_cl_with_backbone_detail"] = gbbd
-            except Exception as e:      # pragma: no cover
-                print(f"# gate_cl+backbone bucketed bench failed: {e}",
-                      file=sys.stderr)
-            try:
-                ib, idetail = bench_icka_bucketed(args.quick, iters)
-                extra["icka_bucketed_pairs_per_sec"] = round(ib, 2)
-                extra["icka_bucket_detail"] = idetail
-                # headline = the best honest serving configuration for the
-                # flagship (VERDICT r02 next #7): the bucketed engine on
-                # the documented tweet-length distribution. The fixed-128
-                # reference-layout number stays a first-class extra above.
-                if not int8_on and not args.batch_sizes \
-                        and not args.no_pallas:
-                    extra[metric] = round(value, 2)
-                    value = ib
-                    metric = "icka_bucketed_serving_pairs_per_sec_per_chip"
-            except Exception as e:      # pragma: no cover
-                print(f"# icka bucketed bench failed: {e}", file=sys.stderr)
-            try:
-                t = bench_train(args.quick, 16, max(5, iters // 4),
-                                remat_policy=args.remat_policy)
-                extra["train_pairs_per_sec"] = round(t, 2)
-                extra["train_batch"] = 16
-            except Exception as e:      # pragma: no cover
-                print(f"# train bench failed: {e}", file=sys.stderr)
-            try:
-                e2e, loader, ebrk = bench_e2e(args.quick, 128,
-                                              args.e2e_steps,
-                                              pallas=use_pallas, int8=False)
-                extra["e2e_pairs_per_sec"] = round(e2e, 2)
-                extra["loader_pairs_per_sec"] = round(loader, 2)
-                extra["e2e_breakdown"] = ebrk
-                extra["host_cpus"] = os.cpu_count()
-            except Exception as e:      # pragma: no cover
-                print(f"# e2e bench failed: {e}", file=sys.stderr)
+                print(f"# {name} bench failed: {e}", file=sys.stderr)
+                out.setdefault("failed", []).append(name)
+            emit()
+
+        def t_icka_fixed():
+            v, bs = bench_icka(args.quick, batch_sizes, iters,
+                               pallas=use_pallas, int8=headline_int8,
+                               quant_mode=headline_mode,
+                               fuse_qkv=args.fuse_qkv,
+                               softmax_bf16=args.softmax_bf16)
+            out["icka_batch"] = bs
+            if headline_fixed:
+                out["value"] = round(v, 2)
+            else:
+                out[f"icka_{headline_mode}"
+                    "_inference_pairs_per_sec_per_chip"] = round(v, 2)
+
+        def t_icka_bucketed():
+            ib, idetail = bench_icka_bucketed(args.quick, iters)
+            out["icka_bucketed_pairs_per_sec"] = round(ib, 2)
+            out["icka_bucket_detail"] = idetail
+            if not headline_fixed:
+                # headline = the best honest serving configuration for
+                # the flagship: the bucketed engine on the documented
+                # tweet-length distribution (VERDICT r02 next #7)
+                out["value"] = round(ib, 2)
+
+        def t_gate_cl_bucketed():
+            gb, gdetail = bench_gate_cl_bucketed(args.quick, iters)
+            out["gate_cl_bucketed_pairs_per_sec"] = round(gb, 2)
+            out["gate_cl_bucket_detail"] = gdetail
+
+        def t_gate_cl_backbone():
+            # the north-star-comparable gate_cl number: image+sentence
+            # pairs with ResNet-152 inside the loop (VERDICT r03 #2)
+            gbb, gbbd = bench_gate_cl_bucketed(args.quick, iters,
+                                               with_backbone=True)
+            out["gate_cl_bucketed_with_backbone_pairs_per_sec"] = \
+                round(gbb, 2)
+            out["gate_cl_with_backbone_detail"] = gbbd
+
+        def t_gate_cl_packed():
+            gp, gpdetail = bench_gate_cl_packed(args.quick, iters)
+            out["gate_cl_packed_pairs_per_sec"] = round(gp, 2)
+            out["gate_cl_packed_detail"] = gpdetail
+
+        def t_icka_packed():
+            ip, ipdetail = bench_icka_packed(args.quick, iters)
+            out["icka_packed_pairs_per_sec"] = round(ip, 2)
+            out["icka_packed_detail"] = ipdetail
+
+        def t_train():
+            t = bench_train(args.quick, 16, max(5, iters // 4),
+                            remat_policy=args.remat_policy)
+            out["train_pairs_per_sec"] = round(t, 2)
+            out["train_batch"] = 16
+
+        def t_e2e():
+            e2e, loader, ebrk = bench_e2e(args.quick, 128, args.e2e_steps,
+                                          pallas=use_pallas, int8=False)
+            out["e2e_pairs_per_sec"] = round(e2e, 2)
+            out["loader_pairs_per_sec"] = round(loader, 2)
+            out["e2e_breakdown"] = ebrk
+            out["host_cpus"] = os.cpu_count()
+
+        def t_icka_bf16():
+            v16, _ = bench_icka(args.quick, [128], iters,
+                                pallas=use_pallas, int8=False)
+            out["icka_bf16_pairs_per_sec"] = round(v16, 2)
+
+        def t_gate_cl_int8():
+            # pallas measured SLOWER for gate_cl (3778 vs 3995 pairs/s at
+            # batch 128: BERT-base 12-head/64-dim shapes) — einsum path
+            # stays the gate_cl default; int8_static is the serving mode.
+            g8, gbs = bench_gate_cl(args.quick, [128], iters, int8=True,
+                                    quant_mode="int8_static")
+            out["gate_cl_int8_pairs_per_sec"] = round(g8, 2)
+            out["gate_cl_batch"] = gbs
+
+        def t_gate_cl_bf16():
+            g, _ = bench_gate_cl(args.quick, [128], iters)
+            out["gate_cl_bf16_pairs_per_sec"] = round(g, 2)
+
+        tasks = [("icka_bucketed", t_icka_bucketed),
+                 ("gate_cl_bucketed", t_gate_cl_bucketed),
+                 ("gate_cl_backbone", t_gate_cl_backbone),
+                 ("gate_cl_packed", t_gate_cl_packed),
+                 ("train", t_train),
+                 ("e2e", t_e2e),
+                 ("icka_fixed", t_icka_fixed),
+                 ("icka_packed", t_icka_packed),
+                 ("icka_bf16", t_icka_bf16),
+                 ("gate_cl_int8", t_gate_cl_int8),
+                 ("gate_cl_bf16", t_gate_cl_bf16)]
+        if headline_fixed or args.quick or args.skip_extras:
+            # A/B or smoke invocation: the fixed-shape flagship bench IS
+            # the headline and runs first; extras follow only on a full
+            # run ("all" semantics are unchanged for --quick/A/B flags).
+            tasks = [("icka_fixed", t_icka_fixed)] + \
+                [t for t in tasks if t[0] != "icka_fixed"]
+        if args.quick or args.skip_extras:
+            tasks = tasks[:1]
+        for name, fn in tasks:
+            run_task(name, fn)
+        return
     elif args.model == "gate_cl":
         value, best_bs = bench_gate_cl(args.quick, batch_sizes, iters,
                                        pallas=args.pallas, int8=int8_on,
