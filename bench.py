@@ -1130,7 +1130,8 @@ def bench_icka_packed(quick: bool, iters: int,
                         offset, mode="test")
 
     srv = PackedICKAServer(model, params, mask_positions, offset,
-                           max_batch=batch)
+                           max_batch=batch,
+                           row_len=32 if quick else None, max_slots=3)
 
     def tier_batch(t, med):
         Lt, St = srv.tiers[t]
@@ -1151,6 +1152,9 @@ def bench_icka_packed(quick: bool, iters: int,
                 exs.append({
                     "ori_input_ids": rng.integers(
                         2, cfg.embedding.vocab_size, lens[i])
+                    .astype(np.int32),
+                    "input_ids": rng.integers(
+                        2, cfg.embedding.vocab_size, offset + lens[i])
                     .astype(np.int32),
                     "clip_features": rng.standard_normal(
                         (1, cfg.clip_dim)).astype(np.float32),
@@ -1175,7 +1179,7 @@ def bench_icka_packed(quick: bool, iters: int,
     def infer(p, b, prev):
         dep = jnp.where(jnp.sum(prev) > jnp.int32(2 ** 30), 1, 0) \
             .astype(jnp.int32)
-        b2 = dict(b, ids=b["ids"] + dep)
+        b2 = dict(b, ids_a=b["ids_a"] + dep, ids_b=b["ids_b"] + dep)
         return srv.apply_packed(p, b2)
 
     @partial(jax.jit, static_argnames=("n",))

@@ -228,3 +228,154 @@ class ICKAModel(nn.Module):
         if mode == "test":
             return self.crf.decode(emissions, output_mask)
         raise ValueError(f"unknown mode {mode!r}")
+
+    def forward_packed(self, batch):
+        """Sequence-PACKED flagship inference (`icka_tpu.serving.packing.
+        PackedICKAServer`): each row carries up to S (sentence, image)
+        pairs. The reference pads every pair to max_seq_length=128 and
+        pays the full cost (`Cross_Modal_Interaction_Module.py:941-1057`
+        driven by `My_cross_attention.py:375-427`); packing fills rows to
+        ~95% with exact per-pair isolation.
+
+        The flagship runs TWO packed token layouts per row, because its
+        pipeline does (the prompted encoder input is longer than the bare
+        sentence by the spliced prompt head):
+
+          layout A — concatenated BARE sentences (L1 = row_len): feeds
+            the embedding encoder, txt2img fusion, gate, BiLSTM, CRF;
+          layout B — concatenated SPLICED prompted sequences (L2 =
+            row_len + S·(offset − 2 + 2·prompt_len)): feeds the prompt
+            RoBERTa; prompt-vector positions carry placeholders resolved
+            on device via `prompt_gather` into the per-slot prefix table
+            (`PromptSpliceEncoder` packed path).
+
+        batch keys (B rows, S slots; sentinel = S for slot ids, array
+        length for gather indices):
+          ids_a/pos_a/types_a/slot_a/valid_a/seg_start/seg_end (B, L1);
+          ids_b/pos_b/types_b/slot_b/valid_b/prompt_gather (B, L2);
+          sent_gather (B, L1) — layout-B index of each bare token's
+            post-splice counterpart; seg_first (B, S) — layout-A index
+            of each segment's first token;
+          img_mask (B, S, 49), visual_grid (B, S, 7, 7, R),
+            visual_mean (B, S, R), clip_features (B, S, C).
+
+        Isolation is exact: block-diagonal self-attention in BOTH
+        layouts, per-slot visual/alignment keys, host-computed
+        per-segment position ids, BiLSTM carry resets at segment
+        starts/ends (the `masked_lstm=True` exactness semantics — packed
+        rows have no reference-style padding tail for the torch-parity
+        quirk to scan), and a Viterbi lattice cut at `seg_start`.
+
+        Returns (B, L1) decoded tags in packed order; the server slices
+        per-segment spans back out.
+        """
+        cfg = self.cfg
+        ids_a = batch["ids_a"]
+        slot_a = batch["slot_a"]
+        B, L1 = ids_a.shape
+        S = batch["img_mask"].shape[1]
+        P = cfg.prompt_len
+
+        # 1. bare-sentence encoding, block-diagonal by slot (padding's
+        # sentinel slot only sees padding)
+        pair_a = (slot_a[:, :, None] == slot_a[:, None, :])
+        seq, _ = self.embedding(ids_a, pair_a[:, None].astype(jnp.int32),
+                                batch["types_a"],
+                                position_ids=batch["pos_a"],
+                                deterministic=True)
+        seq = self.drop(seq, deterministic=True)
+
+        # 2-3. txt2img fusion with per-slot visual keys: token i may read
+        # region (s, r) iff slot_a[i] == s and img_mask[s, r]
+        if cfg.use_txt2img:
+            grid = batch["visual_grid"].reshape(
+                B, S * cfg.num_regions, batch["visual_grid"].shape[-1])
+            grid = self.vismap2text(grid)
+            slot_onehot = (slot_a[:, :, None]
+                           == jnp.arange(S, dtype=jnp.int32)[None, None, :])
+            kv_ok = (slot_onehot[:, :, :, None]
+                     & (batch["img_mask"][:, None, :, :] > 0)
+                     ).reshape(B, L1, S * cfg.num_regions)
+            cross = self.txt2img(
+                seq, grid, additive_mask(kv_ok[:, None].astype(jnp.int32)),
+                deterministic=True)
+        else:
+            cross = seq
+
+        crossw = jnp.concatenate(
+            [cross, jnp.zeros((B, 1, cross.shape[-1]), cross.dtype)],
+            axis=1)
+
+        # 4. knowledge alignment: one CLIP query PER SLOT attends over its
+        # own segment's fused text (empty slots see a uniform softmax over
+        # fully-masked keys; their prompt vectors are never consumed)
+        q_ok = (jnp.arange(S, dtype=jnp.int32)[None, :, None]
+                == slot_a[:, None, :])                         # (B, S, L1)
+        align_bias = additive_mask(q_ok[:, None].astype(jnp.int32))
+        if cfg.use_alignment:
+            clip_tok = self.vismapping(
+                batch["clip_features"].reshape(B, S, -1))      # (B, S, H)
+        else:
+            # ablation: each segment's first fused token stands in
+            clip_tok = jnp.take_along_axis(
+                crossw, batch["seg_first"][:, :, None], axis=1)
+        for layer in self.align_layers:
+            clip_tok = layer(clip_tok, cross, align_bias,
+                             deterministic=True)
+
+        # 5. instruction construction per slot → flat prefix table
+        align_prompt = self.map_alignment(
+            clip_tok.reshape(B * S, clip_tok.shape[-1]),
+            deterministic=True)                              # (B·S, P, H)
+        vision_prompt = self.map_vision(
+            batch["visual_mean"].reshape(B * S, -1), deterministic=True)
+        if not cfg.use_vision_prompt:
+            vision_prompt = align_prompt
+        if not cfg.use_alignment_prompt:
+            align_prompt = vision_prompt
+        prefix = jnp.concatenate([vision_prompt, align_prompt], axis=1)
+        if self.needs_lastproj:
+            prefix = self.lastproj(prefix)
+        prefix = prefix.reshape(B, S * 2 * P, prefix.shape[-1])
+
+        ids_b = batch["ids_b"]
+        slot_b = batch["slot_b"]
+        pair_b = (slot_b[:, :, None] == slot_b[:, None, :])
+        out, _ = self.last_encoder(
+            ids_b, pair_b[:, None].astype(jnp.int32), batch["types_b"],
+            prefix, None, (0, 0), deterministic=True,
+            position_ids=batch["pos_b"],
+            prompt_gather=batch["prompt_gather"])
+        outw = jnp.concatenate(
+            [out, jnp.zeros((B, 1, out.shape[-1]), out.dtype)], axis=1)
+        token_embedding = jnp.take_along_axis(
+            outw, batch["sent_gather"][:, :, None], axis=1)  # (B, L1, Hl)
+
+        # 6. relevance gate per slot, broadcast to tokens by owning slot
+        if cfg.use_gate:
+            cross0 = jnp.take_along_axis(
+                crossw, batch["seg_first"][:, :, None], axis=1)
+            tew = jnp.concatenate(
+                [token_embedding,
+                 jnp.zeros((B, 1, token_embedding.shape[-1]),
+                           token_embedding.dtype)], axis=1)
+            te0 = jnp.take_along_axis(
+                tew, batch["seg_first"][:, :, None], axis=1)
+            g = self.gate(cross0.reshape(B * S, -1),
+                          te0.reshape(B * S, -1)).reshape(B, S)
+        else:
+            g = jnp.full((B, S), cfg.gate_fixed, self.dtype)
+        g_tok = jnp.take_along_axis(
+            jnp.concatenate([g, jnp.zeros((B, 1), g.dtype)], axis=1),
+            jnp.minimum(slot_a, S), axis=1)                    # (B, L1)
+        fused = (g_tok[:, :, None] * token_embedding
+                 + (1.0 - g_tok)[:, :, None] * cross)
+
+        # 7. BiLSTM with carry resets at segment boundaries → CRF with a
+        # reset-cut Viterbi lattice
+        x = self.lstm(fused, mask=batch["valid_a"],
+                      reset_fwd=batch["seg_start"],
+                      reset_bwd=batch["seg_end"])
+        emissions = self.classifier(x)
+        return self.crf.decode(emissions, batch["valid_a"],
+                               reset=batch["seg_start"])

@@ -159,12 +159,35 @@ class PromptSpliceEncoder(nn.Module):
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids,
                  prompt_embeddings, prompt_mask, mask_positions,
-                 deterministic=True):
+                 deterministic=True, position_ids=None, prompt_gather=None):
         cfg = self.cfg
+        emb = TextEmbeddings(cfg, dtype=self.dtype, name="embeddings")
+        if prompt_gather is not None:
+            # Sequence-PACKED path (`icka_tpu.serving.packing`): the host
+            # has ALREADY laid the row out in spliced form — `input_ids`
+            # carries pad placeholders at prompt-vector positions,
+            # `prompt_embeddings` is a flat (B, K, H) table of prompt
+            # vectors (K = slots × 2·prompt_len), and `prompt_gather`
+            # (B, L) indexes it per position (K = "not a prompt slot").
+            # `attention_mask` is the (B, 1, L, L) block-diagonal packed
+            # mask; `position_ids`/`token_type_ids` are host-computed per
+            # segment; `prompt_mask`/`mask_positions` are unused.
+            B, K = prompt_embeddings.shape[:2]
+            tok = emb.embed_tokens(input_ids)
+            table = jnp.concatenate(
+                [prompt_embeddings.astype(tok.dtype),
+                 jnp.zeros((B, 1, tok.shape[-1]), tok.dtype)], axis=1)
+            pv = jnp.take_along_axis(table, prompt_gather[:, :, None],
+                                     axis=1)
+            spliced = jnp.where((prompt_gather < K)[:, :, None], pv, tok)
+            x = emb.finalize(spliced, position_ids, token_type_ids,
+                             deterministic)
+            x = Encoder(cfg, dtype=self.dtype, name="encoder")(
+                x, additive_mask(attention_mask), deterministic)
+            return x, attention_mask
         m1, m2 = mask_positions
         P = prompt_embeddings.shape[1] // 2
 
-        emb = TextEmbeddings(cfg, dtype=self.dtype, name="embeddings")
         tok = emb.embed_tokens(input_ids)
         spliced = splice_prompt(tok, prompt_embeddings.astype(tok.dtype),
                                 m1, m2)

@@ -29,7 +29,7 @@ from flax import linen as nn
 
 
 def _bilstm_scan(x_proj, w_hh, b_hh, hidden: int, matmul_dtype, unroll=None,
-                 mask=None):
+                 mask=None, reset=None):
     """x_proj: (2, B, L, 4H) input contributions (+ b_ih), direction 0 in
     forward time order, direction 1 time-reversed. w_hh: (2, H, 4H),
     b_hh: (2, 1, 4H). Returns (2, B, L, H) hidden states in scan order.
@@ -39,18 +39,32 @@ def _bilstm_scan(x_proj, w_hh, b_hh, hidden: int, matmul_dtype, unroll=None,
     direction enters each row's valid region with the initial zero state
     regardless of how much padding follows the sequence. This is the
     serving-exactness mode (`ICKAConfig.masked_lstm`); the default
-    (mask=None) matches torch nn.LSTM over a padded batch bit-for-bit."""
+    (mask=None) matches torch nn.LSTM over a padded batch bit-for-bit.
+
+    `reset` (2, B, L) {0,1} in scan order, optional — sequence-PACKING
+    support: a set bit zeroes the carry (h, c) BEFORE the timestep is
+    consumed, so each packed segment's recurrence starts from the initial
+    zero state exactly as if it ran alone (`icka_tpu.serving.packing`:
+    direction 0 marks segment starts, direction 1 segment ends)."""
     _, B, L, _ = x_proj.shape
     h0 = jnp.zeros((2, B, hidden), jnp.float32)
     c0 = jnp.zeros((2, B, hidden), jnp.float32)
     precise = matmul_dtype == jnp.float32
     w = w_hh.astype(matmul_dtype)
     masked = mask is not None
+    resetting = reset is not None
 
     def step(carry, xt):                    # xt: (2, B, 4H) [+ (2, B, 1)]
         h, c = carry
-        if masked:
+        if masked and resetting:
+            xt, mt, rt = xt
+        elif masked:
             xt, mt = xt
+        elif resetting:
+            xt, rt = xt
+        if resetting:
+            h = jnp.where(rt, 0.0, h)
+            c = jnp.where(rt, 0.0, c)
         rec = jnp.einsum(
             "dbh,dhg->dbg", h.astype(matmul_dtype), w,
             precision=jax.lax.Precision.HIGHEST if precise else None,
@@ -67,9 +81,13 @@ def _bilstm_scan(x_proj, w_hh, b_hh, hidden: int, matmul_dtype, unroll=None,
         return (h_new, c_new), h_new
 
     xs = jnp.moveaxis(x_proj.astype(jnp.float32), 2, 0)   # (L, 2, B, 4H)
+    extras = []
     if masked:
-        mt = jnp.moveaxis(mask, 2, 0)[..., None] > 0      # (L, 2, B, 1)
-        xs = (xs, mt)
+        extras.append(jnp.moveaxis(mask, 2, 0)[..., None] > 0)
+    if resetting:
+        extras.append(jnp.moveaxis(reset, 2, 0)[..., None] > 0)
+    if extras:
+        xs = (xs, *extras)
     if unroll is None:
         from icka_tpu.nn.layers import scan_unroll
         unroll = scan_unroll()
@@ -93,10 +111,16 @@ class BiLSTM(nn.Module):
     quant: str = "none"
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, reset_fwd=None, reset_bwd=None):
         """x: (B, L, D). `mask` (B, L) {0,1}, optional: padding timesteps
         hold the recurrent state (see `_bilstm_scan`) — the
-        serving-exactness mode. Default None = torch-parity unmasked."""
+        serving-exactness mode. Default None = torch-parity unmasked.
+
+        `reset_fwd`/`reset_bwd` (B, L) {0,1}, optional — sequence-PACKING
+        support: the forward carry is zeroed before consuming a token with
+        `reset_fwd` set (segment starts), the backward carry before a token
+        with `reset_bwd` set (segment ends), so every packed segment's
+        recurrence is exactly the recurrence it would run alone."""
         from icka_tpu.nn.layers import matmul_precision
 
         in_dim = x.shape[-1]
@@ -179,9 +203,16 @@ class BiLSTM(nn.Module):
         if mask is not None:
             m = mask.astype(jnp.float32)
             scan_mask = jnp.stack([m, m[:, ::-1]], axis=0)   # (2, B, L)
+        scan_reset = None
+        if reset_fwd is not None or reset_bwd is not None:
+            rf = (jnp.zeros(x.shape[:2], jnp.float32)
+                  if reset_fwd is None else reset_fwd.astype(jnp.float32))
+            rb = (jnp.zeros(x.shape[:2], jnp.float32)
+                  if reset_bwd is None else reset_bwd.astype(jnp.float32))
+            scan_reset = jnp.stack([rf, rb[:, ::-1]], axis=0)
         hs = _bilstm_scan(x_proj, w_hh, b_hh, H, self.dtype,
                           unroll=self.unroll or None,
-                          mask=scan_mask)                    # (2, B, L, H)
+                          mask=scan_mask, reset=scan_reset)  # (2, B, L, H)
         fwd_h = hs[0]
         bwd_h = hs[1][:, ::-1, :]
         return jnp.concatenate([fwd_h, bwd_h], axis=-1).astype(self.dtype)
