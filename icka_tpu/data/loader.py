@@ -33,7 +33,7 @@ class MNERLoader:
                  fallback_image: Optional[str] = None,
                  cache_images: bool = True,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch: int = 2):
+                 prefetch: int = 2, decode_threads: int = 4):
         self.features = features
         self.image_dir = image_dir
         self.batch_size = batch_size
@@ -43,6 +43,8 @@ class MNERLoader:
         self.seed = seed
         self.fallback_image = fallback_image
         self.prefetch = prefetch
+        self.decode_threads = decode_threads
+        self._tmp: dict = {}
         self._epoch = 0
         self._cache: Optional[dict[int, np.ndarray]] = (
             {} if cache_images else None)
@@ -61,11 +63,14 @@ class MNERLoader:
             self.features, self.image_dir, self.batch_size, 1, train=False,
             decode_size=self.decode_size, seed=self.seed,
             fallback_image=self.fallback_image,
-            cache_images=self._cache is not None)
+            cache_images=self._cache is not None,
+            decode_threads=self.decode_threads)
 
     def _image(self, row: int) -> np.ndarray:
         if self._cache is not None and row in self._cache:
             return self._cache[row]
+        if row in self._tmp:
+            return self._tmp[row]
         img_id = self.features.img_ids[row]
         path = os.path.join(self.image_dir, img_id) if img_id else ""
         arr = None
@@ -79,11 +84,15 @@ class MNERLoader:
         return arr
 
     def _decode_uncached(self, rows) -> None:
-        """Fill the cache for `rows` using the native threaded batch
-        decoder when available (single-image fallback otherwise)."""
+        """Decode `rows` not yet in the cache using the native threaded
+        batch decoder when available (single-image fallback otherwise).
+        Cached mode fills `self._cache`; uncached (serving) mode fills the
+        transient per-batch `self._tmp` so every request still rides the
+        pthread pool instead of the one-image-at-a-time path."""
+        sink = self._cache if self._cache is not None else self._tmp
         if self._cache is None:
-            return  # uncached mode decodes per image in _image()
-        todo = [int(r) for r in rows if int(r) not in self._cache]
+            self._tmp = sink = {}
+        todo = [int(r) for r in rows if int(r) not in sink]
         if not todo:
             return
         paths = [os.path.join(self.image_dir, self.features.img_ids[r])
@@ -91,21 +100,19 @@ class MNERLoader:
         if all(p.endswith((".jpg", ".jpeg")) for p in paths):
             from icka_tpu.data import native
             res = native.decode_jpeg_batch(paths, self.decode_size,
-                                           num_threads=4)
+                                           num_threads=self.decode_threads)
             if res is not None:
                 arrs, failures = res
                 for i, r in enumerate(todo):
                     arr = arrs[i]
                     if arr.any() or failures == 0:
-                        if self._cache is not None:
-                            self._cache[r] = arr
+                        sink[r] = arr
                         continue
                     # zeroed row = native failure → PIL/fallback path
-                    if self._cache is not None:
-                        self._cache[r] = decode_image(
-                            paths[i], self.decode_size, self.fallback_image)
+                    sink[r] = decode_image(
+                        paths[i], self.decode_size, self.fallback_image)
                 return
-        # fallback: per-image decode fills the cache via _image()
+        # fallback: per-image decode fills the cache/_tmp via _image()
 
     def _assemble(self, rows: np.ndarray) -> Dict[str, np.ndarray]:
         batch = self.features.batch_dict(rows)

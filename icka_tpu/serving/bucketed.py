@@ -54,12 +54,22 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def _dp_shardings(mesh, axis: str = "data"):
+def _dp_shardings(mesh, axis: str | None = None):
     """(replicated, batch-sharded) NamedShardings for DP serving: params
-    replicate, every batch input shards its leading dim over `axis`. XLA
-    then runs each replica's bucket program independently — serving
-    throughput scales linearly with mesh size (no collectives in the
-    forward graph; decode output gathers back to the host)."""
+    replicate, every batch input shards its leading dim over `axis`
+    (default: the mesh's FIRST axis — serving meshes are 1-D DP meshes,
+    whatever the user named that axis). XLA then runs each replica's
+    bucket program independently — serving throughput scales linearly
+    with mesh size (no collectives in the forward graph; decode output
+    gathers back to the host)."""
+    if axis is None:
+        if not mesh.axis_names:
+            raise ValueError("serving mesh has no axes; build it as e.g. "
+                             "Mesh(devices, ('data',))")
+        axis = mesh.axis_names[0]
+    elif axis not in mesh.axis_names:
+        raise ValueError(f"axis {axis!r} not in mesh axes "
+                         f"{mesh.axis_names}")
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis))
     return repl, data

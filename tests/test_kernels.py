@@ -206,3 +206,67 @@ def test_fused_stem_bit_identical_to_xla_stem(rng):
                       fused_pallas=True,
                       pallas_interpret=not ON_TPU).apply(v, x)
     assert bool(jnp.all(got == want))
+
+
+# ---------------------------------------------------------------------------
+# Blockwise (flash-style) attention (VERDICT r04 next #5)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,blocks", [
+    ((2, 128, 64, 8), (32, 32)),     # multi-block both dims
+    ((2, 64, 64, 4), (64, 64)),      # single block (degenerates to fused)
+    ((1, 48, 256, 4), (16, 128)),    # long keys: the length-scalable case
+    ((2, 24, 24, 4), (128, 128)),    # blocks snap down to the seq dims
+])
+def test_blockwise_attention_matches_reference(rng, shape, blocks):
+    from icka_tpu.kernels.attention import fused_attention_blockwise
+    B, Sq, Sk, N = shape
+    bq, bk = blocks
+    D = N * 16
+    q = rng.standard_normal((B, Sq, D)).astype(np.float32)
+    k = rng.standard_normal((B, Sk, D)).astype(np.float32)
+    v = rng.standard_normal((B, Sk, D)).astype(np.float32)
+    key_mask = np.ones((B, Sk), np.float32)
+    key_mask[:, Sk - 7:] = 0
+    bias = ((1.0 - key_mask) * -10000.0)[:, None, None, :]
+
+    got = fused_attention_blockwise(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias),
+        num_heads=N, block_q=bq, block_k=bk, interpret=not ON_TPU)
+    want = attention_reference(jnp.asarray(q), jnp.asarray(k),
+                               jnp.asarray(v), jnp.asarray(bias),
+                               num_heads=N)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_blockwise_attention_full_bias_and_bf16(rng):
+    """Full (B, Sq, Sk) biases (the packed block-diagonal masks) block
+    along BOTH dims; bf16 inputs ride the MXU path."""
+    from icka_tpu.kernels.attention import fused_attention_blockwise
+    B, Sq, Sk, N = 2, 64, 64, 4
+    D = N * 32
+    q = rng.standard_normal((B, Sq, D)).astype(np.float32)
+    k = rng.standard_normal((B, Sk, D)).astype(np.float32)
+    v = rng.standard_normal((B, Sk, D)).astype(np.float32)
+    # block-diagonal packed-style mask
+    slot = (np.arange(Sq) // 32)
+    full = (slot[:, None] == slot[None, :]).astype(np.float32)
+    bias = ((1.0 - full) * -10000.0)[None].repeat(B, 0)
+
+    got = fused_attention_blockwise(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(bias),
+        num_heads=N, block_q=32, block_k=32, interpret=not ON_TPU)
+    want = attention_reference(jnp.asarray(q), jnp.asarray(k),
+                               jnp.asarray(v), jnp.asarray(bias[:, None]),
+                               num_heads=N)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+    got16 = fused_attention_blockwise(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), jnp.asarray(bias),
+        num_heads=N, block_q=32, block_k=32, interpret=not ON_TPU)
+    assert got16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got16, np.float32),
+                               np.asarray(want), atol=0.06, rtol=0.06)

@@ -78,6 +78,10 @@ def main():
     init_b.pop("images")
     init_b["visual_mean"] = np.zeros((2, cfg0.region_dim), np.float32)
     init_b["visual_grid"] = np.zeros((2, 7, 7, cfg0.region_dim), np.float32)
+    # NOTE: with --quant int8_static these init params carry PLACEHOLDER
+    # activation scales / quantized kernels (no calibration pass runs
+    # here) — the timings are valid (same shapes/dtypes/program as a
+    # calibrated tree) but decoded outputs are numerically meaningless.
     params = models[True].init(jax.random.PRNGKey(0), init_b,
                                mask_positions, offset, mode="test")
 
