@@ -225,5 +225,116 @@ def main():
           f"({t_s2d / t_base:.2f}x)")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("L1_EXTRA"):
     main()
+
+
+# -------- additional arms (r5): traffic-reduction variants ---------------
+# The s2d result (4x dense MACs -> only +31% time) proves l1 is NOT
+# MXU-tile-bound: it is activation-traffic/epilogue-bound. These arms
+# attack traffic instead of tiles.
+
+def conv3x3_taps(x, c, dtype=jnp.bfloat16):
+    """conv2 as the SUM of 9 shifted (M, Cin)@(Cin, Cout) dots — no
+    (B, H, W, 9*Cin) patch concat materialized in HBM (the im2col path
+    writes+rereads ~231 MB per l1 conv2 at B=128)."""
+    xd = quant(x, c["a_scale"])
+    xp = jnp.pad(xd, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    H = x.shape[1]
+    cin = x.shape[-1]
+    w = c["wq"].reshape(3, 3, cin, -1)
+    y = None
+    for i in range(3):
+        for j in range(3):
+            t = jax.lax.dot_general(
+                xp[:, i:i + H, j:j + H, :], w[i, j],
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = t if y is None else y + t
+    y = (y.astype(jnp.float32) * (c["a_scale"] * c["w_scale"])) \
+        .astype(dtype)
+    return y + c["bias"].astype(dtype)
+
+
+def block_taps(x, w):
+    out = jax.nn.relu(conv_im2col(x, w["conv1"], 1))
+    out = jax.nn.relu(conv3x3_taps(out, w["conv2"]))
+    out = conv_im2col(out, w["conv3"], 1)
+    sc = conv_im2col(x, w["downsample"], 1) if "downsample" in w else x
+    return jax.nn.relu(out + sc)
+
+
+def l1_taps(x, weights):
+    for w in weights:
+        x = block_taps(x, w)
+    return x
+
+
+def conv_bf16(x, c, k, dtype=jnp.bfloat16):
+    """bf16 arm: same weights dequantized offline — drops the per-conv
+    activation round/clip passes at 2x matmul input bytes."""
+    w = (c["wq"].astype(jnp.float32) * c["w_scale"]).astype(dtype)
+    xd = x.astype(dtype)
+    if k == 1:
+        y = jax.lax.dot_general(xd, w, (((3,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    else:
+        pad = k // 2
+        xp = jnp.pad(xd, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        H = x.shape[1]
+        views = [xp[:, i:i + H, j:j + H, :]
+                 for i in range(k) for j in range(k)]
+        patches = jnp.concatenate(views, axis=-1)
+        y = jax.lax.dot_general(patches, w, (((3,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    # a_scale folded: weights were calibrated against quantized x; the
+    # bf16 arm times the traffic shape, numerics differ (timing arm only)
+    return y.astype(dtype) + c["bias"].astype(dtype)
+
+
+def block_bf16(x, w):
+    out = jax.nn.relu(conv_bf16(x, w["conv1"], 1))
+    out = jax.nn.relu(conv_bf16(out, w["conv2"], 3))
+    out = conv_bf16(out, w["conv3"], 1)
+    sc = conv_bf16(x, w["downsample"], 1) if "downsample" in w else x
+    return jax.nn.relu(out + sc)
+
+
+def l1_bf16(x, weights):
+    for w in weights:
+        x = block_bf16(x, w)
+    return x
+
+
+def main_extra():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--iters", type=int, default=32)
+    args, _ = p.parse_known_args()
+
+    rng = np.random.default_rng(0)
+    weights = [rand_block_weights(rng, WIDTH if b == 0 else WIDTH * EXP)
+               for b in range(BLOCKS)]
+    jw = jax.device_put(jax.tree.map(jnp.asarray, weights))
+
+    # exactness: taps == im2col (identical int32 accumulation up to
+    # summation order — integer adds commute exactly)
+    xs = jnp.asarray(rng.standard_normal((2, 56, 56, 64)), jnp.bfloat16)
+    want = jax.jit(l1_baseline)(xs, jw)
+    got = jax.jit(l1_taps)(xs, jw)
+    print(f"# taps bit-exact: {bool(jnp.all(want == got))}")
+
+    x = jnp.asarray(rng.standard_normal(
+        (args.batch, 56, 56, 64)), jnp.bfloat16)
+    t_base = time_fn(lambda v: l1_baseline(v, jw), x, args.iters)
+    t_taps = time_fn(lambda v: l1_taps(v, jw), x, args.iters)
+    t_bf16 = time_fn(lambda v: l1_bf16(v, jw), x, args.iters)
+    print(f"# l1 baseline (im2col): {t_base:.2f} ms/step (B={args.batch})")
+    print(f"# l1 9-shifted-dots:    {t_taps:.2f} ms/step "
+          f"({t_taps / t_base:.2f}x)")
+    print(f"# l1 bf16 (no quant):   {t_bf16:.2f} ms/step "
+          f"({t_bf16 / t_base:.2f}x)")
+
+
+if __name__ == "__main__" and os.environ.get("L1_EXTRA"):
+    main_extra()
