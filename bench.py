@@ -907,6 +907,11 @@ def bench_e2e(quick: bool, batch: int, steps: int, pallas: bool = False,
         seen = 0
         for b in make_loader(nt):
             seen += int(b["row_valid"].sum())
+            if seen >= n // 2:
+                # half the dataset bounds each sweep pass (threads are a
+                # rate measurement, not a coverage one) so three passes
+                # don't cost more wall clock than the old single pass
+                break
         thread_sweep[nt] = round(seen / (time.perf_counter() - t0), 1)
         print(f"# loader-only ({nt} decode threads): {thread_sweep[nt]} "
               f"pairs/s ({seen} images, {os.cpu_count()} host cpu)",
