@@ -1245,9 +1245,9 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--model", default="icka",
-                   choices=["icka", "icka_bucketed", "gate_cl",
-                            "gate_cl_bucketed", "gate_cl_packed", "train",
-                            "e2e", "all"])
+                   choices=["icka", "icka_bucketed", "icka_packed",
+                            "gate_cl", "gate_cl_bucketed", "gate_cl_packed",
+                            "train", "e2e", "all"])
     p.add_argument("--batch_sizes", default=None,
                    help="comma-separated batch sizes to sweep")
     p.add_argument("--iters", type=int, default=None)
@@ -1522,6 +1522,13 @@ def main(argv=None):
             row_len=args.row_len, max_slots=args.max_slots,
             batch=batch_sizes[0] if args.batch_sizes else 128)
         metric = "gate_cl_packed_serving_pairs_per_sec_per_chip"
+        extra["packed_detail"] = detail
+    elif args.model == "icka_packed":
+        value, detail = bench_icka_packed(
+            args.quick, iters,
+            quant_mode=quant_mode if int8_on else "int8_static",
+            batch=batch_sizes[0] if args.batch_sizes else 32)
+        metric = "icka_packed_serving_pairs_per_sec_per_chip"
         extra["packed_detail"] = detail
     elif args.model == "e2e":
         value, loader, ebrk = bench_e2e(args.quick, batch_sizes[0],
